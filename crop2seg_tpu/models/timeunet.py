@@ -1,0 +1,105 @@
+"""TimeUNet_v1: temporal-first U-Net (the reference's shipped inference model).
+
+Re-design of /root/reference/src/backbones/timeunet.py:10-210. Data flow:
+
+    x (B,T,H,W,C) --shared in_conv--> (B,T,H,W,64)
+    --L-TAE at FULL resolution--> (B,H,W,64)      # collapses T before the UNet
+    --plain UNet encoder/decoder (no temporal skips)--> logits (B,H,W,K)
+
+The full-resolution L-TAE runs attention over B*H*W = B*16384 pixel rows —
+this is the dominant cost and the primary target of the fused Pallas kernel
+(crop2seg_tpu.ops.ltae_pallas).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crop2seg_tpu.nn.layers import ConvBlock, DownConvBlock, UpConvBlock
+from crop2seg_tpu.nn.ltae import LTAE
+from crop2seg_tpu.nn.temporal import pad_mask_from_input, temporally_shared
+
+
+class TimeUNet(nn.Module):
+    input_dim: int = 10
+    encoder_widths: Sequence[int] = (64, 64, 64, 128)
+    decoder_widths: Sequence[int] = (32, 32, 64, 128)
+    out_conv: Sequence[int] = (32, 20)
+    str_conv_k: int = 4
+    str_conv_s: int = 2
+    str_conv_p: int = 1
+    encoder_norm: str = "group"
+    n_head: int = 16
+    d_model: int = 256
+    d_k: int = 4
+    encoder: bool = False
+    return_maps: bool = False
+    pad_value: float = 0.0
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    add_squeeze_excit: bool = False
+    use_abs_rel_enc: bool = False
+    num_queries: int = 1
+    use_doy: bool = False
+    add_linear: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
+                 pad_mask: jax.Array | None = None, train: bool = False,
+                 return_att: bool = False):
+        n_stages = len(self.encoder_widths)
+        enc_w, dec_w = self.encoder_widths, self.decoder_widths
+        use_doy = False if self.use_abs_rel_enc else self.use_doy
+        if pad_mask is None:
+            pad_mask = pad_mask_from_input(x, self.pad_value)
+
+        in_conv = ConvBlock(
+            nkernels=(self.input_dim, enc_w[0], enc_w[0]), norm=self.encoder_norm,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            add_squeeze=self.add_squeeze_excit, dtype=self.dtype, name="in_conv")
+        out = temporally_shared(lambda f: in_conv(f, train=train), x,
+                                pad_mask, self.pad_value)
+
+        # Temporal collapse at full 128^2 resolution (reference :169-184).
+        out, att = LTAE(
+            in_channels=enc_w[0], d_model=self.d_model, n_head=self.n_head,
+            d_k=self.d_k, mlp=(self.d_model, enc_w[0]),
+            use_abs_rel_enc=self.use_abs_rel_enc, num_queries=self.num_queries,
+            use_doy=use_doy, add_linear=self.add_linear, dtype=self.dtype,
+            name="temporal_encoder",
+        )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train)
+
+        feature_maps = [out]
+        for i in range(n_stages - 1):
+            out = DownConvBlock(
+                d_out=enc_w[i + 1], k=self.str_conv_k, s=self.str_conv_s,
+                p=self.str_conv_p, norm=self.encoder_norm,
+                padding_mode=self.padding_mode, conv_type=self.conv_type,
+                add_squeeze=self.add_squeeze_excit, dtype=self.dtype,
+                name=f"down_{i}")(feature_maps[-1], train=train)
+            feature_maps.append(out)
+
+        maps = [out]
+        for i in range(n_stages - 1):
+            out = UpConvBlock(
+                d_out=dec_w[-(i + 2)], k=self.str_conv_k, s=self.str_conv_s,
+                p=self.str_conv_p, norm="batch", padding_mode=self.padding_mode,
+                conv_type="2d", dtype=self.dtype, name=f"up_{i}",
+            )(out, feature_maps[-(i + 2)], train=train)
+            maps.append(out)
+
+        if self.encoder:
+            return out, maps
+        logits = ConvBlock(
+            nkernels=(dec_w[0],) + tuple(self.out_conv),
+            padding_mode=self.padding_mode, conv_type="2d", dtype=self.dtype,
+            name="out_conv")(out, train=train)
+        if return_att:
+            return logits, att
+        if self.return_maps:
+            return logits, maps
+        return logits

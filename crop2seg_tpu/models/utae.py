@@ -1,0 +1,138 @@
+"""U-TAE: U-Net with temporal attention encoder (TPU-native).
+
+Re-design of /root/reference/src/backbones/utae.py:14-252. Data flow:
+
+    x (B,T,H,W,C) --shared in_conv--> f0 --shared down x3--> f3 (T kept)
+    f3 --L-TAE--> bottleneck (B,h,w,128) + attention masks
+    skips: temporal_aggregate(f_i, attn) ; decoder: UpConvBlock chain
+    head: out_conv -> (B,H,W,K) logits [+ boundary head (B,H,W,2)]
+
+All tensors are channels-last; ragged T is handled by an explicit pad mask
+(no data-dependent shapes), see crop2seg_tpu.nn.temporal.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crop2seg_tpu.nn.aggregator import temporal_aggregate
+from crop2seg_tpu.nn.layers import (
+    ConvBlock, DownConvBlock, UpConvBlock,
+    MBConvBlock, MBDownConvBlock, MBUpConvBlock,
+)
+from crop2seg_tpu.nn.ltae import LTAE
+from crop2seg_tpu.nn.temporal import pad_mask_from_input, temporally_shared
+
+
+class UTAE(nn.Module):
+    input_dim: int = 10
+    encoder_widths: Sequence[int] = (64, 64, 64, 128)
+    decoder_widths: Sequence[int] = (32, 32, 64, 128)
+    out_conv: Sequence[int] = (32, 20)
+    str_conv_k: int = 4
+    str_conv_s: int = 2
+    str_conv_p: int = 1
+    agg_mode: str = "att_group"
+    encoder_norm: str = "group"
+    n_head: int = 16
+    d_model: int = 256
+    d_k: int = 4
+    encoder: bool = False
+    return_maps: bool = False
+    pad_value: float = 0.0
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    use_mbconv: bool = False
+    add_squeeze_excit: bool = False
+    use_abs_rel_enc: bool = False
+    num_queries: int = 1
+    use_doy: bool = False
+    add_linear: bool = False
+    add_boundary_loss: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
+                 pad_mask: jax.Array | None = None, train: bool = False,
+                 return_att: bool = False):
+        n_stages = len(self.encoder_widths)
+        enc_w, dec_w = self.encoder_widths, self.decoder_widths
+        use_doy = False if self.use_abs_rel_enc else self.use_doy
+        if pad_mask is None:
+            pad_mask = pad_mask_from_input(x, self.pad_value)
+
+        if self.use_mbconv:
+            in_block, down_block, up_block, out_block = (
+                MBConvBlock, MBDownConvBlock, MBUpConvBlock, MBConvBlock)
+        else:
+            in_block, down_block, up_block, out_block = (
+                ConvBlock, DownConvBlock, UpConvBlock, ConvBlock)
+
+        # --- shared spatial encoder over every frame -----------------------
+        in_conv = in_block(
+            nkernels=(self.input_dim, enc_w[0], enc_w[0]), norm=self.encoder_norm,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            add_squeeze=self.add_squeeze_excit, dtype=self.dtype, name="in_conv")
+        out = temporally_shared(lambda f: in_conv(f, train=train), x,
+                                pad_mask, self.pad_value)
+        feature_maps = [out]
+        for i in range(n_stages - 1):
+            blk = down_block(
+                d_out=enc_w[i + 1], k=self.str_conv_k, s=self.str_conv_s,
+                p=self.str_conv_p, norm=self.encoder_norm,
+                padding_mode=self.padding_mode, conv_type=self.conv_type,
+                add_squeeze=self.add_squeeze_excit, dtype=self.dtype,
+                name=f"down_{i}")
+            out = temporally_shared(lambda f, blk=blk: blk(f, train=train),
+                                    feature_maps[-1], pad_mask, self.pad_value)
+            feature_maps.append(out)
+
+        # --- temporal encoder at the lowest resolution ---------------------
+        out, att = LTAE(
+            in_channels=enc_w[-1], d_model=self.d_model, n_head=self.n_head,
+            d_k=self.d_k, mlp=(self.d_model, dec_w[-1]),
+            use_abs_rel_enc=self.use_abs_rel_enc, num_queries=self.num_queries,
+            use_doy=use_doy, add_linear=self.add_linear, dtype=self.dtype,
+            name="temporal_encoder",
+        )(feature_maps[-1], batch_positions=batch_positions,
+          pad_mask=pad_mask, train=train)
+
+        # --- decoder with attention-aggregated skips -----------------------
+        maps = [out]
+        for i in range(n_stages - 1):
+            skip = temporal_aggregate(
+                feature_maps[-(i + 2)], attn=att, pad_mask=pad_mask,
+                mode=self.agg_mode)
+            out = up_block(
+                d_out=dec_w[-(i + 2)], k=self.str_conv_k, s=self.str_conv_s,
+                p=self.str_conv_p, norm="batch", padding_mode=self.padding_mode,
+                conv_type="2d", dtype=self.dtype, name=f"up_{i}",
+            )(out, skip, train=train)
+            maps.append(out)
+
+        if self.encoder:
+            return out, maps
+
+        logits = out_block(
+            nkernels=(dec_w[0],) + tuple(self.out_conv),
+            padding_mode=self.padding_mode, conv_type="2d", dtype=self.dtype,
+            name="out_conv")(out, train=train)
+
+        if self.add_boundary_loss:
+            boundary = out_block(
+                nkernels=(dec_w[0], 32, 2), padding_mode=self.padding_mode,
+                conv_type="2d", dtype=self.dtype, name="boundary_conv",
+            )(out, train=train)
+            if return_att:
+                return logits, boundary, att
+            if self.return_maps:
+                return logits, boundary, maps
+            return logits, boundary
+        if return_att:
+            return logits, att
+        if self.return_maps:
+            return logits, maps
+        return logits

@@ -1,0 +1,457 @@
+"""Core spatial conv layers (NHWC, TPU-first).
+
+Functional re-design of the conv blocks in the reference implementation
+(/root/reference/src/backbones/conv.py): same math, channels-last layout so
+XLA tiles convs straight onto the MXU, reflect padding done explicitly so all
+convs are VALID/SAME primitives, and torch-exact transposed convolution
+expressed as an input-dilated convolution.
+
+Parity notes (verified against torch CPU in tests/test_layers.py):
+- torch Conv2d(k, s, p, padding_mode='reflect')  == reflect-pad + VALID conv
+- torch ConvTranspose2d(k, s, p)                 == conv_general_dilated with
+  lhs_dilation=s, padding=k-1-p, spatially-flipped kernel
+  (reference use: /root/reference/src/backbones/conv.py:384-390)
+- torch BatchNorm2d(momentum=0.1, eps=1e-5)      == nn.BatchNorm(momentum=0.9)
+- torch GroupNorm / InstanceNorm2d(affine=False) == nn.GroupNorm variants
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def spatial_pad(x: jax.Array, pad: int, mode: str = "reflect") -> jax.Array:
+    """Pad the two spatial dims of an NHWC tensor."""
+    if pad == 0:
+        return x
+    cfg = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    if mode == "zeros":
+        return jnp.pad(x, cfg)
+    return jnp.pad(x, cfg, mode=mode)
+
+
+class Conv2d(nn.Module):
+    """2-D convolution with torch-style explicit padding (NHWC).
+
+    Mirrors torch.nn.Conv2d(in, out, k, stride=s, padding=p, padding_mode=...)
+    as used throughout /root/reference/src/backbones/conv.py:70-80.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    padding_mode: str = "reflect"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = spatial_pad(x, self.padding, self.padding_mode)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class ConvTranspose2d(nn.Module):
+    """torch-exact ConvTranspose2d(k, s, p) as an input-dilated conv (NHWC).
+
+    y = conv(dilate(x, s), flip(W), padding=k-1-p); reference decoder up-conv
+    uses k=4, s=2, p=1 (/root/reference/src/backbones/conv.py:384-390), which
+    exactly doubles spatial resolution.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        # Stored in forward-conv HWIO layout; spatially pre-flipped relative
+        # to the torch (Cin, Cout, kh, kw) tensor at conversion time.
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, in_ch, self.features),
+            jnp.float32,
+        )
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        pad = k - 1 - p
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or x.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(s, s),
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def make_norm(norm: str, n_groups: int = 4, dtype=None) -> Callable[..., nn.Module] | None:
+    """Normalization factory matching the reference choices
+    (/root/reference/src/backbones/conv.py:52-62)."""
+    if norm == "batch":
+        return lambda name=None: nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, use_running_average=None, dtype=dtype, name=name
+        )
+    if norm == "instance":
+        # torch InstanceNorm2d default: affine=False, no running stats.
+        return lambda name=None: nn.GroupNorm(
+            num_groups=None, group_size=1, epsilon=1e-5,
+            use_bias=False, use_scale=False, dtype=dtype, name=name,
+        )
+    if norm == "group":
+        return lambda name=None: nn.GroupNorm(
+            num_groups=n_groups, epsilon=1e-5, dtype=dtype, name=name
+        )
+    return None
+
+
+class DepthwiseSeparableConv2d(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1, both bias-free
+    (/root/reference/src/backbones/conv.py:11-26)."""
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    padding_mode: str = "zeros"
+    stride: int = 1
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        x = Conv2d(
+            features=in_ch, kernel_size=self.kernel_size, stride=self.stride,
+            padding=self.padding, padding_mode=self.padding_mode,
+            use_bias=False, feature_group_count=in_ch, dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = Conv2d(
+            features=self.features, kernel_size=1, stride=1, padding=0,
+            use_bias=False, dtype=self.dtype, name="pointwise",
+        )(x)
+        return x
+
+
+class SqueezeAndExcitation(nn.Module):
+    """Channel gating: GAP -> Linear(C, C/r) -> ReLU -> Linear -> sigmoid
+    (/root/reference/src/backbones/squeeze_and_excitation.py:7-27)."""
+
+    reduction_ratio: int = 16
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))  # (N, C)
+        y = nn.Dense(c // self.reduction_ratio, use_bias=False, dtype=self.dtype, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class ConvLayer(nn.Module):
+    """Stack of (conv -> norm -> ReLU) units, optional trailing SE gate
+    (/root/reference/src/backbones/conv.py:29-96).
+
+    ``nkernels`` lists successive channel widths *including* the input width,
+    exactly like the reference. ``last_relu=False`` drops the ReLU after the
+    final conv only.
+    """
+
+    nkernels: Sequence[int]
+    norm: str = "batch"
+    k: int = 3
+    s: int = 1
+    p: int = 1
+    n_groups: int = 4
+    last_relu: bool = True
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    add_squeeze: bool = False
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        norm_fn = make_norm(self.norm, self.n_groups, self.dtype)
+        n = len(self.nkernels) - 1
+        for i in range(n):
+            if self.conv_type == "depthwise_separable":
+                x = DepthwiseSeparableConv2d(
+                    features=self.nkernels[i + 1], kernel_size=self.k,
+                    padding=self.p, padding_mode=self.padding_mode,
+                    stride=self.s, dtype=self.dtype, name=f"conv{i}",
+                )(x)
+            else:
+                x = Conv2d(
+                    features=self.nkernels[i + 1], kernel_size=self.k,
+                    stride=self.s, padding=self.p, padding_mode=self.padding_mode,
+                    dtype=self.dtype, name=f"conv{i}",
+                )(x)
+            if norm_fn is not None:
+                m = norm_fn(name=f"norm{i}")
+                x = m(x, use_running_average=not train) if self.norm == "batch" else m(x)
+            if self.last_relu or i < n - 1:
+                x = nn.relu(x)
+        if self.add_squeeze:
+            x = SqueezeAndExcitation(dtype=self.dtype, name="se")(x)
+        return x
+
+
+class ConvBlock(nn.Module):
+    """Resolution-preserving conv block (/root/reference/src/backbones/conv.py:168-200)."""
+
+    nkernels: Sequence[int]
+    norm: str = "batch"
+    last_relu: bool = True
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    add_squeeze: bool = False
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return ConvLayer(
+            nkernels=self.nkernels, norm=self.norm, last_relu=self.last_relu,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            add_squeeze=self.add_squeeze, dtype=self.dtype, name="conv",
+        )(x, train=train)
+
+
+class DownConvBlock(nn.Module):
+    """Strided down conv + residual conv pair
+    (/root/reference/src/backbones/conv.py:238-296): out = conv1(down(x));
+    out = out + conv2(out)."""
+
+    d_out: int
+    k: int = 4
+    s: int = 2
+    p: int = 1
+    norm: str = "batch"
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    add_squeeze: bool = False
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        d_in = x.shape[-1]
+        x = ConvLayer(
+            nkernels=(d_in, d_in), norm=self.norm, k=self.k, s=self.s, p=self.p,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            dtype=self.dtype, name="down",
+        )(x, train=train)
+        x = ConvLayer(
+            nkernels=(d_in, self.d_out), norm=self.norm,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            dtype=self.dtype, name="conv1",
+        )(x, train=train)
+        x = x + ConvLayer(
+            nkernels=(self.d_out, self.d_out), norm=self.norm,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            dtype=self.dtype, name="conv2",
+        )(x, train=train)
+        if self.add_squeeze:
+            x = SqueezeAndExcitation(dtype=self.dtype, name="se")(x)
+        return x
+
+
+class UpConvBlock(nn.Module):
+    """Decoder block (/root/reference/src/backbones/conv.py:362-413):
+    deconv-up(x) ++ 1x1-conv(skip) -> conv1 -> +conv2 residual."""
+
+    d_out: int
+    k: int = 4
+    s: int = 2
+    p: int = 1
+    norm: str = "batch"
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    add_squeeze: bool = False
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
+        d_skip = skip.shape[-1]
+        up = ConvTranspose2d(
+            features=self.d_out, kernel_size=self.k, stride=self.s,
+            padding=self.p, dtype=self.dtype, name="up_conv",
+        )(x)
+        up = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                          name="up_norm")(up, use_running_average=not train)
+        up = nn.relu(up)
+
+        sk = Conv2d(features=d_skip, kernel_size=1, stride=1, padding=0,
+                    dtype=self.dtype, name="skip_conv")(skip)
+        sk = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                          name="skip_norm")(sk, use_running_average=not train)
+        sk = nn.relu(sk)
+
+        out = jnp.concatenate([up, sk], axis=-1)
+        out = ConvLayer(
+            nkernels=(self.d_out + d_skip, self.d_out), norm=self.norm,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            dtype=self.dtype, name="conv1",
+        )(out, train=train)
+        out = out + ConvLayer(
+            nkernels=(self.d_out, self.d_out), norm=self.norm,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            dtype=self.dtype, name="conv2",
+        )(out, train=train)
+        if self.add_squeeze:
+            out = SqueezeAndExcitation(dtype=self.dtype, name="se")(out)
+        return out
+
+
+class MBConv(nn.Module):
+    """Inverted-residual MBConv (expand 1x1 -> depthwise 3x3 -> SE -> project
+    1x1), residual when shapes match (/root/reference/src/backbones/mbconv.py:25-96)."""
+
+    d_out: int
+    expansion: int = 4
+    n_groups: int = 4
+    add_squeeze: bool = True
+    norm: str = "group"
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        d_in = x.shape[-1]
+        wide = d_in * self.expansion
+        norm_fn = make_norm(self.norm, self.n_groups, self.dtype)
+
+        def apply_norm(h, name):
+            if norm_fn is None:
+                return h
+            m = norm_fn(name=name)
+            return m(h, use_running_average=not train) if self.norm == "batch" else m(h)
+
+        h = Conv2d(features=wide, kernel_size=1, stride=1, padding=0,
+                   dtype=self.dtype, name="expand")(x)
+        h = nn.relu(apply_norm(h, "norm0"))
+        h = Conv2d(features=wide, kernel_size=3, stride=1, padding=1,
+                   padding_mode="reflect", feature_group_count=wide,
+                   dtype=self.dtype, name="depthwise")(h)
+        h = nn.relu(apply_norm(h, "norm1"))
+        if self.add_squeeze:
+            h = SqueezeAndExcitation(dtype=self.dtype, name="se")(h)
+        h = Conv2d(features=self.d_out, kernel_size=1, stride=1, padding=0,
+                   dtype=self.dtype, name="project")(h)
+        h = apply_norm(h, "norm2")
+        if d_in == self.d_out:
+            h = h + x
+        return h
+
+
+class MBConvLayer(nn.Module):
+    """Stack of MBConv units (/root/reference/src/backbones/mbconv.py:99-129)."""
+
+    nkernels: Sequence[int]
+    norm: str = "group"
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(len(self.nkernels) - 1):
+            x = MBConv(d_out=self.nkernels[i + 1], norm=self.norm,
+                       dtype=self.dtype, name=f"mbconv{i}")(x, train=train)
+        return x
+
+
+class MBConvBlock(nn.Module):
+    """MBConv drop-in for ConvBlock (/root/reference/src/backbones/mbconv.py:132-152)."""
+
+    nkernels: Sequence[int]
+    norm: str = "group"
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return MBConvLayer(nkernels=self.nkernels, norm=self.norm,
+                           dtype=self.dtype, name="conv")(x, train=train)
+
+
+class MBDownConvBlock(nn.Module):
+    """MBConv drop-in for DownConvBlock (/root/reference/src/backbones/mbconv.py:155-198).
+    Note: no residual add (reference uses plain conv2 after conv1)."""
+
+    d_out: int
+    k: int = 4
+    s: int = 2
+    p: int = 1
+    norm: str = "batch"
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        d_in = x.shape[-1]
+        x = ConvLayer(
+            nkernels=(d_in, d_in), norm=self.norm, k=self.k, s=self.s, p=self.p,
+            padding_mode=self.padding_mode, conv_type=self.conv_type,
+            dtype=self.dtype, name="down",
+        )(x, train=train)
+        x = MBConvLayer(nkernels=(d_in, self.d_out), norm=self.norm,
+                        dtype=self.dtype, name="conv1")(x, train=train)
+        x = MBConvLayer(nkernels=(self.d_out, self.d_out), norm=self.norm,
+                        dtype=self.dtype, name="conv2")(x, train=train)
+        return x
+
+
+class MBUpConvBlock(nn.Module):
+    """MBConv drop-in for UpConvBlock (/root/reference/src/backbones/mbconv.py:201-245)."""
+
+    d_out: int
+    k: int = 4
+    s: int = 2
+    p: int = 1
+    norm: str = "batch"
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
+        d_skip = skip.shape[-1]
+        up = ConvTranspose2d(features=self.d_out, kernel_size=self.k,
+                             stride=self.s, padding=self.p, dtype=self.dtype,
+                             name="up_conv")(x)
+        up = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                          name="up_norm")(up, use_running_average=not train)
+        up = nn.relu(up)
+
+        sk = Conv2d(features=d_skip, kernel_size=1, stride=1, padding=0,
+                    dtype=self.dtype, name="skip_conv")(skip)
+        sk = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                          name="skip_norm")(sk, use_running_average=not train)
+        sk = nn.relu(sk)
+
+        out = jnp.concatenate([up, sk], axis=-1)
+        out = MBConvLayer(nkernels=(self.d_out + d_skip, self.d_out),
+                          norm=self.norm, dtype=self.dtype, name="conv1")(out, train=train)
+        out = MBConvLayer(nkernels=(self.d_out, self.d_out), norm=self.norm,
+                          dtype=self.dtype, name="conv2")(out, train=train)
+        return out

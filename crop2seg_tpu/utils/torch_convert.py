@@ -1,0 +1,317 @@
+"""Convert reference PyTorch checkpoints into crop2seg_tpu flax variables.
+
+The reference ships ``model.pth.tar`` state dicts whose keys are
+nn.Sequential index paths (e.g. ``out_conv.conv.conv.3.weight``,
+cf. /root/reference/train.py:406-408). This module maps them onto the
+structured flax module tree, transposing tensor layouts:
+
+    torch Conv2d  (O, I, kh, kw)        -> flax  (kh, kw, I, O)
+    torch ConvT2d (I, O, kh, kw)        -> flax forward-HWIO, spatially flipped
+    torch Linear  (O, I)                -> flax  (I, O)
+    torch Conv1d k=1 (O, I, 1)          -> flax Dense (I, O)
+    torch BatchNorm/GroupNorm           -> scale/bias (+ batch_stats)
+
+Works on plain nested dicts (no torch import needed for the tensor math —
+tensors arrive as numpy arrays; use ``load_torch_state_dict`` if you have a
+.pth file and torch installed).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into {key: np.ndarray}.
+
+    Accepts either a bare state_dict or the reference's
+    ``{state_dict, optimizer, epoch, best_mIoU}`` wrapper
+    (/root/reference/train.py:529-541).
+    """
+    import torch  # local import: torch is optional at runtime
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        blob = blob["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in blob.items()
+            if hasattr(v, "detach")}
+
+
+# --- tensor-level converters -------------------------------------------------
+
+def conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """(O, I, kh, kw) -> (kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv_transpose2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> our forward-conv HWIO.
+
+    Our ConvTranspose2d computes conv(dilate(x), K) with K in (kh, kw, I, O);
+    torch's operation corresponds to K[h, w, i, o] = W[i, o, kh-1-h, kw-1-w].
+    """
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+def dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Linear (O, I) -> flax Dense (I, O)."""
+    return np.transpose(w)
+
+
+def conv1d1_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d 1x1 (O, I, 1) -> flax Dense (I, O)."""
+    return np.transpose(w[:, :, 0])
+
+
+def depthwise_kernel(w: np.ndarray) -> np.ndarray:
+    """torch grouped conv with groups=C: (C, 1, kh, kw) -> (kh, kw, 1, C)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+# --- structured assembly -----------------------------------------------------
+
+def _norm(sd: Mapping[str, np.ndarray], prefix: str, kind: str):
+    """Return (params, batch_stats|None) for a torch norm layer at prefix."""
+    p: Dict[str, Any] = {}
+    if f"{prefix}.weight" in sd:
+        p["scale"] = sd[f"{prefix}.weight"]
+        p["bias"] = sd[f"{prefix}.bias"]
+    stats = None
+    if kind == "batch":
+        stats = {"mean": sd[f"{prefix}.running_mean"],
+                 "var": sd[f"{prefix}.running_var"]}
+    return p, stats
+
+
+def _conv2d(sd, prefix):
+    p = {"kernel": conv2d_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _dws_conv(sd, prefix):
+    """DepthwiseSeparableConv2D (reference conv.py:11-26)."""
+    return {
+        "depthwise": {"conv": {"kernel": depthwise_kernel(sd[f"{prefix}.depthwise.weight"])}},
+        "pointwise": {"conv": {"kernel": conv2d_kernel(sd[f"{prefix}.pointwise.weight"])}},
+    }
+
+
+def _se(sd, prefix):
+    """SqueezeAndExcitation: sae.1 / sae.3 Linears (reference s&e.py:16-23)."""
+    return {"fc1": {"kernel": dense_kernel(sd[f"{prefix}.sae.1.weight"])},
+            "fc2": {"kernel": dense_kernel(sd[f"{prefix}.sae.3.weight"])}}
+
+
+def convert_conv_layer(sd: Mapping[str, np.ndarray], prefix: str,
+                       n_convs: int, norm: str, conv_type: str = "2d",
+                       add_squeeze: bool = False):
+    """ConvLayer at ``prefix`` (torch Sequential under ``{prefix}.conv``).
+
+    Sequential layout per unit: conv, [norm], [relu] (reference conv.py:70-93);
+    relu has no params so torch indexes are conv=3i, norm=3i+1 when norm+relu
+    present. Instance norm has no params -> stride 2 w/ relu... indexes are
+    computed robustly by scanning existing keys instead.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    # scan sequential indices that own weights
+    idxs = sorted({int(m.group(1)) for k in sd
+                   for m in [re.match(re.escape(prefix) + r"\.conv\.(\d+)\.", k)] if m})
+    conv_i = 0
+    for idx in idxs:
+        kp = f"{prefix}.conv.{idx}"
+        if f"{kp}.running_mean" in sd:  # batch norm
+            p, st = _norm(sd, kp, "batch")
+            params[f"norm{conv_i - 1}"] = p
+            stats[f"norm{conv_i - 1}"] = st
+        elif f"{kp}.depthwise.weight" in sd:
+            params[f"conv{conv_i}"] = _dws_conv(sd, kp)
+            conv_i += 1
+        elif f"{kp}.weight" in sd and sd[f"{kp}.weight"].ndim == 4:
+            params[f"conv{conv_i}"] = {"conv": _conv2d(sd, kp)}
+            conv_i += 1
+        elif f"{kp}.weight" in sd and sd[f"{kp}.weight"].ndim == 1:  # group norm
+            p, _ = _norm(sd, kp, "group")
+            params[f"norm{conv_i - 1}"] = p
+        elif f"{kp}.sae.1.weight" in sd:
+            params["se"] = _se(sd, kp)
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def merge_tree(dst: Dict, src: Mapping, path=()):
+    """Deep-merge src into dst."""
+    for k, v in src.items():
+        if isinstance(v, Mapping) and isinstance(dst.get(k), dict):
+            merge_tree(dst[k], v, path + (k,))
+        else:
+            dst[k] = v
+    return dst
+
+
+# --- module-level converters ---------------------------------------------
+
+def _j(prefix: str, name: str) -> str:
+    """Join a (possibly empty) torch key prefix with a sub-name."""
+    return f"{prefix}.{name}" if prefix else name
+
+
+def convert_up_block(sd, prefix):
+    """UpConvBlock at ``prefix`` (reference conv.py:362-413)."""
+    params = {
+        "up_conv": {"kernel": conv_transpose2d_kernel(sd[_j(prefix, "up.0.weight")]),
+                    "bias": sd[_j(prefix, "up.0.bias")]},
+        "skip_conv": {"conv": _conv2d(sd, _j(prefix, "skip_conv.0"))},
+    }
+    stats = {}
+    p, st = _norm(sd, _j(prefix, "up.1"), "batch")
+    params["up_norm"], stats["up_norm"] = p, st
+    p, st = _norm(sd, _j(prefix, "skip_conv.1"), "batch")
+    params["skip_norm"], stats["skip_norm"] = p, st
+    for name in ("conv1", "conv2"):
+        sub = convert_conv_layer(sd, _j(prefix, name), 1, "batch")
+        params[name] = sub["params"]
+        if "batch_stats" in sub:
+            stats[name] = sub["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_down_block(sd, prefix):
+    """DownConvBlock at ``prefix`` (reference conv.py:238-296)."""
+    params, stats = {}, {}
+    for name in ("down", "conv1", "conv2"):
+        sub = convert_conv_layer(sd, _j(prefix, name), 1, "any")
+        params[name] = sub["params"]
+        if "batch_stats" in sub:
+            stats[name] = sub["batch_stats"]
+    if _j(prefix, "sae.sae.1.weight") in sd:
+        params["se"] = _se(sd, _j(prefix, "sae"))
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_positional_encoder(sd, prefix, absolute=False):
+    """PositionalEncoder / AbsolutePositionalEncoder params (may be empty)."""
+    if absolute:
+        return {"embedding": dense_kernel(sd[_j(prefix, "fc.weight")]),
+                "bias": sd[_j(prefix, "fc.bias")]}
+    if _j(prefix, "fc.weight") in sd:
+        return {"fc": {"kernel": dense_kernel(sd[_j(prefix, "fc.weight")]),
+                       "bias": sd[_j(prefix, "fc.bias")]}}
+    return {}
+
+
+def convert_ltae(sd, prefix, use_doy=False, add_linear=False,
+                 use_abs_rel_enc=False, with_mlp=True):
+    """LTAE / LTAE4WTAE at ``prefix`` (reference tae.py:349-635)."""
+    params = {
+        "in_norm_scale": sd[_j(prefix, "in_norm.weight")],
+        "in_norm_bias": sd[_j(prefix, "in_norm.bias")],
+        "attention": {
+            "query": sd[_j(prefix, "attention_head.Q")],
+            "fc1_k": {"kernel": dense_kernel(sd[_j(prefix, "attention_head.fc1_k.weight")]),
+                      "bias": sd[_j(prefix, "attention_head.fc1_k.bias")]},
+        },
+    }
+    if _j(prefix, "inconv.weight") in sd:
+        params["inconv"] = {"kernel": conv1d1_kernel(sd[_j(prefix, "inconv.weight")]),
+                            "bias": sd[_j(prefix, "inconv.bias")]}
+    pe_abs = use_doy and not add_linear
+    pe = convert_positional_encoder(sd, _j(prefix, "positional_encoder"),
+                                    absolute=pe_abs)
+    if pe:
+        params["positional_encoder"] = pe
+    if use_abs_rel_enc:
+        params["positional_encoder_abs"] = convert_positional_encoder(
+            sd, _j(prefix, "positional_encoder_abs"), absolute=True)
+    stats = {}
+    if with_mlp:
+        params["out_norm_scale"] = sd[_j(prefix, "out_norm.weight")]
+        params["out_norm_bias"] = sd[_j(prefix, "out_norm.bias")]
+        params["mlp_dense"] = {"kernel": dense_kernel(sd[_j(prefix, "mlp.0.weight")]),
+                               "bias": sd[_j(prefix, "mlp.0.bias")]}
+        p, st = _norm(sd, _j(prefix, "mlp.2"), "batch")
+        params["mlp_bn"], stats["mlp_bn"] = p, st
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def _stitch(dst_params, dst_stats, name, sub):
+    dst_params[name] = sub["params"]
+    if "batch_stats" in sub:
+        dst_stats[name] = sub["batch_stats"]
+
+
+def convert_utae(sd, n_stages=4, use_doy=False, add_linear=False,
+                 use_abs_rel_enc=False, add_boundary=False):
+    """Full UTAE state dict -> flax variables (reference utae.py:14-252)."""
+    params, stats = {}, {}
+    _stitch(params, stats, "in_conv", convert_conv_layer(sd, "in_conv.conv", 2, "any"))
+    params["in_conv"] = {"conv": params["in_conv"]}
+    if "in_conv" in stats:
+        stats["in_conv"] = {"conv": stats["in_conv"]}
+    for i in range(n_stages - 1):
+        _stitch(params, stats, f"down_{i}", convert_down_block(sd, f"down_blocks.{i}"))
+        _stitch(params, stats, f"up_{i}",
+                convert_up_block(sd, f"up_blocks.{i}"))
+    _stitch(params, stats, "temporal_encoder",
+            convert_ltae(sd, "temporal_encoder", use_doy=use_doy,
+                         add_linear=add_linear, use_abs_rel_enc=use_abs_rel_enc))
+    oc = convert_conv_layer(sd, "out_conv.conv", 2, "any")
+    params["out_conv"] = {"conv": oc["params"]}
+    if "batch_stats" in oc:
+        stats["out_conv"] = {"conv": oc["batch_stats"]}
+    if add_boundary:
+        bc = convert_conv_layer(sd, "boundary_conv.conv", 2, "any")
+        params["boundary_conv"] = {"conv": bc["params"]}
+        if "batch_stats" in bc:
+            stats["boundary_conv"] = {"conv": bc["batch_stats"]}
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_timeunet(sd, n_stages=4, use_doy=False, add_linear=False,
+                     use_abs_rel_enc=False):
+    """TimeUNet_v1 state dict -> flax variables (reference timeunet.py:10-210)."""
+    # identical module inventory to UTAE minus aggregator (no params) and
+    # boundary head; layout of names matches our TimeUNet module.
+    return convert_utae(sd, n_stages=n_stages, use_doy=use_doy,
+                        add_linear=add_linear, use_abs_rel_enc=use_abs_rel_enc)
+
+
+def convert_wtae(sd, n_stages=4, use_doy=False, add_linear=False,
+                 use_abs_rel_enc=False, add_boundary=False):
+    """WTAE state dict -> flax variables (reference wtae.py:15-279)."""
+    params, stats = {}, {}
+    _stitch(params, stats, "in_conv", convert_conv_layer(sd, "in_conv.conv", 2, "any"))
+    params["in_conv"] = {"conv": params["in_conv"]}
+    if "in_conv" in stats:
+        stats["in_conv"] = {"conv": stats["in_conv"]}
+    for i in range(n_stages - 1):
+        _stitch(params, stats, f"spatial_reduction_{i}",
+                convert_down_block(sd, f"spatial_reduction.{i}"))
+        _stitch(params, stats, f"down_{i}", convert_down_block(sd, f"down_blocks.{i}"))
+        _stitch(params, stats, f"up_{i}", convert_up_block(sd, f"up_blocks.{i}"))
+    _stitch(params, stats, "temporal_encoder",
+            convert_ltae(sd, "temporal_encoder", use_doy=use_doy,
+                         add_linear=add_linear, use_abs_rel_enc=use_abs_rel_enc,
+                         with_mlp=False))
+    oc = convert_conv_layer(sd, "out_conv.conv", 2, "any")
+    params["out_conv"] = {"conv": oc["params"]}
+    if "batch_stats" in oc:
+        stats["out_conv"] = {"conv": oc["batch_stats"]}
+    if add_boundary:
+        bc = convert_conv_layer(sd, "boundary_conv.conv", 2, "any")
+        params["boundary_conv"] = {"conv": bc["params"]}
+        if "batch_stats" in bc:
+            stats["boundary_conv"] = {"conv": bc["batch_stats"]}
+    return {"params": params, "batch_stats": stats}

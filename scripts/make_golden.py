@@ -1,0 +1,226 @@
+"""Generate golden parity fixtures from the reference implementation.
+
+Runs randomly-initialized reference torch modules (CPU, eval mode) on fixed
+inputs and stores inputs, outputs, and state dicts as .npz under
+tests/golden/. The test suite converts these state dicts into crop2seg_tpu
+flax variables and asserts numerical agreement — this is the "golden parity"
+strategy from SURVEY.md §4 (the reference's own checkpoint blob is missing,
+.MISSING_LARGE_BLOBS:1).
+
+The reference package is imported in place (read-only); nothing is copied.
+Run:  python scripts/make_golden.py
+"""
+import os
+import sys
+
+import numpy as np
+import torch
+
+sys.path.insert(0, "/root/reference")
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+torch.manual_seed(0)
+np.random.seed(0)
+
+B, T, H, W, C = 2, 9, 16, 16, 10
+
+
+def sd_np(mod):
+    return {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
+
+
+def save(name, **arrays):
+    flat = {}
+    for k, v in arrays.items():
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                flat[f"{k}::{kk}"] = vv
+        else:
+            flat[k] = v
+    np.savez_compressed(os.path.join(OUT, f"{name}.npz"), **flat)
+    print("wrote", name, len(flat), "arrays")
+
+
+def make_inputs(b=B, t=T, h=H, w=W, c=C, pad_last=(0, 3), seed=1):
+    g = torch.Generator().manual_seed(seed)
+    x = torch.randn(b, t, c, h, w, generator=g)
+    for i, npad in enumerate(pad_last):
+        if npad:
+            x[i, t - npad:] = 0.0
+    dates = torch.arange(t)[None, :].repeat(b, 1) * 7 + 20
+    return x, dates.float()
+
+
+def main():
+    from src.backbones.conv import ConvBlock, DownConvBlock, UpConvBlock
+    from src.backbones.tae import LTAE, LTAE4WTAE
+    from src.backbones.temporal_aggregator import TemporalAggregator
+    from src.backbones.positional_encoding import (
+        PositionalEncoder, AbsolutePositionalEncoder)
+    from src.backbones.utae import UTAE
+    from src.backbones.timeunet import TimeUNet_v1
+    from src.backbones.wtae import WTAE
+
+    x, dates = make_inputs()
+    pad_mask = (x == 0.0).all(-1).all(-1).all(-1)
+
+    # ---- ConvBlock (group norm, 2 convs), frame-wise --------------------
+    torch.manual_seed(10)
+    cb = ConvBlock(nkernels=[C, 8, 8], pad_value=0, norm="group").eval()
+    with torch.no_grad():
+        y = cb.smart_forward(x)
+    save("conv_block_group", x=x.numpy(), y=y.numpy(), sd=sd_np(cb))
+
+    # ---- ConvBlock with batch norm + SE ---------------------------------
+    torch.manual_seed(11)
+    cb2 = ConvBlock(nkernels=[C, 32, 32], pad_value=0, norm="batch",
+                    add_squeeze=True).eval()
+    # randomize running stats so eval BN is non-trivial
+    for m in cb2.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    with torch.no_grad():
+        y = cb2.smart_forward(x)
+    save("conv_block_batch_se", x=x.numpy(), y=y.numpy(), sd=sd_np(cb2))
+
+    # ---- ConvBlock depthwise separable ----------------------------------
+    torch.manual_seed(12)
+    cb3 = ConvBlock(nkernels=[C, 8, 8], pad_value=0, norm="group",
+                    conv_type="depthwise_separable").eval()
+    with torch.no_grad():
+        y = cb3.smart_forward(x)
+    save("conv_block_dws", x=x.numpy(), y=y.numpy(), sd=sd_np(cb3))
+
+    # ---- DownConvBlock ---------------------------------------------------
+    torch.manual_seed(13)
+    db = DownConvBlock(d_in=8, d_out=16, k=4, s=2, p=1, pad_value=0,
+                       norm="group").eval()
+    x8 = torch.randn(B, T, 8, H, W, generator=torch.Generator().manual_seed(40))
+    x8[0, T - 3:] = 0.0
+    with torch.no_grad():
+        y = db.smart_forward(x8)
+    save("down_block", x=x8.numpy(), y=y.numpy(), sd=sd_np(db))
+
+    # ---- UpConvBlock -----------------------------------------------------
+    torch.manual_seed(14)
+    ub = UpConvBlock(d_in=16, d_out=8, d_skip=12, k=4, s=2, p=1,
+                     norm="batch").eval()
+    for m in ub.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    g = torch.Generator().manual_seed(15)
+    xin = torch.randn(B, 16, H // 2, W // 2, generator=g)
+    skip = torch.randn(B, 12, H, W, generator=g)
+    with torch.no_grad():
+        y = ub(xin, skip)
+    save("up_block", x=xin.numpy(), skip=skip.numpy(), y=y.numpy(), sd=sd_np(ub))
+
+    # ---- Positional encoders --------------------------------------------
+    torch.manual_seed(16)
+    pe = PositionalEncoder(d_model=16, T=1000, repeat=4, add_linear=True)
+    with torch.no_grad():
+        y = pe(dates)
+    save("positional_encoder", dates=dates.numpy(), y=y.numpy(), sd=sd_np(pe))
+
+    torch.manual_seed(17)
+    ape = AbsolutePositionalEncoder(d_model=16, repeat=4)
+    doy = (dates % 365).long()
+    with torch.no_grad():
+        y = ape(doy)
+    save("abs_positional_encoder", doy=doy.numpy(), y=y.numpy(), sd=sd_np(ape))
+
+    # ---- LTAE ------------------------------------------------------------
+    torch.manual_seed(18)
+    xl = torch.randn(B, T, 32, 8, 8, generator=torch.Generator().manual_seed(19))
+    xl[0, T - 2:] = 0.0
+    pm = (xl == 0.0).all(-1).all(-1).all(-1)
+    lt = LTAE(in_channels=32, n_head=8, d_k=4, mlp=[64, 16], d_model=64).eval()
+    for m in lt.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    with torch.no_grad():
+        y, attn = lt(xl, batch_positions=dates, pad_mask=pm)
+    save("ltae", x=xl.numpy(), dates=dates.numpy(), pad_mask=pm.numpy(),
+         y=y.numpy(), attn=attn.numpy(), sd=sd_np(lt))
+
+    # ---- LTAE4WTAE --------------------------------------------------------
+    torch.manual_seed(20)
+    lw = LTAE4WTAE(in_channels=32, n_head=8, d_k=4, d_model=64).eval()
+    with torch.no_grad():
+        attn = lw(xl, batch_positions=dates, pad_mask=pm)
+    save("ltae4wtae", x=xl.numpy(), dates=dates.numpy(), pad_mask=pm.numpy(),
+         attn=attn.numpy(), sd=sd_np(lw))
+
+    # ---- TemporalAggregator ----------------------------------------------
+    ta_x = torch.randn(B, T, 32, 16, 16, generator=torch.Generator().manual_seed(21))
+    attn8 = torch.rand(8, B, T, 8, 8, generator=torch.Generator().manual_seed(22))
+    for mode in ("att_group", "att_mean", "mean"):
+        agg = TemporalAggregator(mode=mode)
+        with torch.no_grad():
+            y = agg(ta_x, pad_mask=pad_mask, attn_mask=attn8)
+        save(f"aggregator_{mode}", x=ta_x.numpy(), attn=attn8.numpy(),
+             pad_mask=pad_mask.numpy(), y=y.numpy())
+    # downsampling path: skip 4x4 smaller than 8x8 attention
+    ta_small = torch.randn(B, T, 32, 4, 4, generator=torch.Generator().manual_seed(23))
+    agg = TemporalAggregator(mode="att_group")
+    with torch.no_grad():
+        y = agg(ta_small, pad_mask=pad_mask, attn_mask=attn8)
+    save("aggregator_att_group_down", x=ta_small.numpy(), attn=attn8.numpy(),
+         pad_mask=pad_mask.numpy(), y=y.numpy())
+
+    # ---- Full models (small configs) -------------------------------------
+    # TimeUNet/WTAE accept a flexible d_model; UTAE's inner LTAE hard-codes
+    # mlp=[256,128] (reference utae.py:179-187 passes no mlp), so its config
+    # needs d_model=256 and decoder_widths[-1]=128.
+    common = dict(input_dim=C, encoder_widths=[16, 16, 32], decoder_widths=[8, 16, 32],
+                  out_conv=[8, 5], n_head=4, d_model=32, d_k=4, pad_value=0)
+    utae_cfg = dict(input_dim=C, encoder_widths=[16, 16, 128],
+                    decoder_widths=[8, 16, 128], out_conv=[8, 5],
+                    n_head=4, d_model=256, d_k=4, pad_value=0)
+
+    def randomize_bn(model):
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    torch.manual_seed(30)
+    utae = UTAE(**utae_cfg).eval()
+    randomize_bn(utae)
+    with torch.no_grad():
+        y = utae(x, batch_positions=dates)
+    save("utae_small", x=x.numpy(), dates=dates.numpy(), y=y.numpy(), sd=sd_np(utae))
+
+    torch.manual_seed(31)
+    tun = TimeUNet_v1(**common).eval()
+    randomize_bn(tun)
+    with torch.no_grad():
+        y = tun(x, batch_positions=dates)
+    save("timeunet_small", x=x.numpy(), dates=dates.numpy(), y=y.numpy(), sd=sd_np(tun))
+
+    torch.manual_seed(32)
+    wt = WTAE(**common, add_boundary_loss=True).eval()
+    randomize_bn(wt)
+    with torch.no_grad():
+        y, y_b = wt(x, batch_positions=dates)
+    save("wtae_small", x=x.numpy(), dates=dates.numpy(), y=y.numpy(),
+         y_b=y_b.numpy(), sd=sd_np(wt))
+
+    # UTAE with boundary head + abs_rel encoding + doy
+    torch.manual_seed(33)
+    utae2 = UTAE(**utae_cfg, add_boundary_loss=True, use_abs_rel_enc=True).eval()
+    randomize_bn(utae2)
+    dates2 = torch.cat([dates[..., None], (dates % 365)[..., None]], dim=-1)
+    with torch.no_grad():
+        y, y_b = utae2(x, batch_positions=dates2)
+    save("utae_boundary_absrel", x=x.numpy(), dates=dates2.numpy(), y=y.numpy(),
+         y_b=y_b.numpy(), sd=sd_np(utae2))
+
+
+if __name__ == "__main__":
+    main()
