@@ -1,0 +1,100 @@
+"""Fixed-T bucketed batching with explicit pad masks.
+
+TPU-native replacement for the reference's per-batch max-T padding
+(/root/reference/src/utils.py:20-66 ``pad_collate``): dynamic per-batch
+shapes force one XLA recompile per distinct T, so instead every batch is
+padded up to the smallest bucket in ``t_buckets`` that fits (default buckets
+chosen for the S2TSCzCrop range T in [27, 61], README.md:92). The pad mask is
+an explicit input — models never inspect data values for padding.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_T_BUCKETS = (32, 48, 61)
+
+
+def pick_bucket(t: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if t <= b:
+            return b
+    return buckets[-1]
+
+
+def collate(samples: List[Dict[str, np.ndarray]],
+            t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
+            pad_value: float = 0.0) -> Dict[str, np.ndarray]:
+    """Stack samples into one batch dict, padding T to a shared bucket.
+
+    Produces: x (B, Tb, H, W, C), dates (B, Tb[, 2]), pad_mask (B, Tb) bool,
+    y (B, H, W) when present, lengths (B,), ids (B,)[, affine].
+    Samples longer than the largest bucket are truncated (keeping the first
+    Tb steps — cannot happen for in-contract S2TSCzCrop data).
+    """
+    max_len = max(s["length"] for s in samples)
+    tb = pick_bucket(max_len, t_buckets)
+    b = len(samples)
+    x0 = samples[0]["x"]
+    x = np.full((b, tb) + x0.shape[1:], pad_value, np.float32)
+    dshape = (b, tb) + samples[0]["dates"].shape[1:]
+    dates = np.zeros(dshape, np.float32)
+    pad_mask = np.ones((b, tb), bool)
+    lengths = np.zeros((b,), np.int32)
+    for i, s in enumerate(samples):
+        t = min(s["length"], tb)
+        x[i, :t] = s["x"][:t]
+        dates[i, :t] = s["dates"][:t]
+        pad_mask[i, :t] = False
+        lengths[i] = t
+    out = {"x": x, "dates": dates, "pad_mask": pad_mask, "lengths": lengths,
+           "ids": np.asarray([s["id"] for s in samples], np.int64)}
+    if "y" in samples[0]:
+        out["y"] = np.stack([s["y"] for s in samples]).astype(np.int32)
+    if "affine" in samples[0]:
+        out["affine"] = np.stack([s["affine"] for s in samples])
+    return out
+
+
+class BatchLoader:
+    """Minimal epoch iterator: shuffle, batch, bucket-pad, optional drop-last.
+
+    Replaces torch DataLoader for the host pipeline (reference train.py:346-380).
+    Optionally weighted sampling with replacement (the reference builds a
+    WeightedRandomSampler at train.py:340-344).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
+                 pad_value: float = 0.0, drop_last: bool = True,
+                 sample_weights: Optional[np.ndarray] = None, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.t_buckets = tuple(t_buckets)
+        self.pad_value = pad_value
+        self.drop_last = drop_last
+        self.sample_weights = sample_weights
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        if self.sample_weights is not None:
+            p = np.asarray(self.sample_weights, np.float64)
+            idx = self._rng.choice(n, size=n, replace=True, p=p / p.sum())
+        elif self.shuffle:
+            idx = self._rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        for start in range(0, n, self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            samples = [self.dataset[int(i)] for i in chunk]
+            yield collate(samples, self.t_buckets, self.pad_value)

@@ -1,0 +1,114 @@
+"""Checkpoint / resume / run artifacts.
+
+TPU-native equivalent of the reference persistence layer
+(/root/reference/train.py:432-434,529-541 and learning/utils.py:461-533):
+
+- orbax checkpoints carrying {params, batch_stats, opt_state, epoch, best_mIoU}
+- ``conf.json`` with the run configuration (reloaded on resume/test, the
+  reference's conf.json contract at train.py:246-254)
+- ``trainlog.json`` epoch metrics (learning/utils.py:470-474)
+- ``<region>_test_metrics.json`` + confusion-matrix pickles
+  (learning/utils.py:477-489) and overall/per_class JSONs (:492-532)
+- import of reference torch ``model.pth.tar`` blobs via
+  crop2seg_tpu.utils.torch_convert
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def prepare_output(res_dir: str, fold: int = 1) -> str:
+    out = os.path.join(res_dir, f"Fold_{fold}")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def save_conf(res_dir: str, config: Dict[str, Any]) -> None:
+    with open(os.path.join(res_dir, "conf.json"), "w") as f:
+        json.dump(config, f, indent=4, default=str)
+
+
+def load_conf(res_dir: str) -> Dict[str, Any]:
+    with open(os.path.join(res_dir, "conf.json")) as f:
+        return json.load(f)
+
+
+def checkpoint_log(fold_dir: str, trainlog: Dict) -> None:
+    with open(os.path.join(fold_dir, "trainlog.json"), "w") as f:
+        json.dump(trainlog, f, indent=4)
+
+
+def save_results(fold_dir: str, metrics: Dict, cms: Dict[str, np.ndarray],
+                 region: str = "all") -> None:
+    with open(os.path.join(fold_dir, f"{region}_test_metrics.json"), "w") as f:
+        json.dump({k: float(v) for k, v in metrics.items()}, f, indent=4)
+    with open(os.path.join(fold_dir, f"{region}_conf_mat.pkl"), "wb") as f:
+        pickle.dump({k: np.asarray(v) for k, v in cms.items()}, f)
+
+
+def overall_performance(res_dir: str, cm: np.ndarray, region: str = "all",
+                        prefix: str = "") -> None:
+    """Aggregate metrics from a confusion matrix into overall/per_class JSONs
+    (reference learning/utils.py:492-532)."""
+    from crop2seg_tpu.learning.metrics import confusion_matrix_analysis
+
+    per_class, overall = confusion_matrix_analysis(cm)
+    with open(os.path.join(res_dir, f"{prefix}{region}_overall.json"), "w") as f:
+        json.dump({k: float(v) for k, v in overall.items()}, f, indent=4)
+    with open(os.path.join(res_dir, f"{prefix}{region}_per_class.json"), "w") as f:
+        json.dump({k: {kk: float(vv) for kk, vv in d.items()}
+                   for k, d in per_class.items()}, f, indent=4)
+
+
+# --- orbax state checkpointing --------------------------------------------
+
+def save_state(fold_dir: str, state, epoch: int, best_miou: float) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(fold_dir, "model.ckpt"))
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats) or {},
+        "opt_state": jax.device_get(state.opt_state),
+        "meta": {"epoch": epoch, "best_mIoU": float(best_miou)},
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
+def load_state(fold_dir: str, state=None):
+    """Returns (payload dict). When ``state`` is given, opt_state is restored
+    with matching structure."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(fold_dir, "model.ckpt"))
+    ckptr = ocp.PyTreeCheckpointer()
+    if state is None:
+        return ckptr.restore(path)
+    template = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats) or {},
+        "opt_state": jax.device_get(state.opt_state),
+        "meta": {"epoch": 0, "best_mIoU": 0.0},
+    }
+    return ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
+
+
+def load_torch_checkpoint(path: str, model_name: str, **kwargs):
+    """Import a reference ``model.pth.tar`` into flax variables."""
+    from crop2seg_tpu.utils import torch_convert as tc
+
+    sd = tc.load_torch_state_dict(path)
+    if model_name in ("utae",):
+        return tc.convert_utae(sd, **kwargs)
+    if model_name in ("timeunet", "timeunet_v1"):
+        return tc.convert_timeunet(sd, **kwargs)
+    if model_name in ("wtae",):
+        return tc.convert_wtae(sd, **kwargs)
+    raise ValueError(f"no torch converter for model {model_name!r}")

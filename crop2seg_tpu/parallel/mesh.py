@@ -1,0 +1,83 @@
+"""Device mesh + sharding rules (TPU-native scaling).
+
+The reference is strictly single-device (SURVEY.md §2: no DDP / NCCL / MPI
+anywhere); scaling here is first-class: a ``jax.sharding.Mesh`` over the
+``data`` axis (optionally a ``space`` axis for spatial sharding of whole-tile
+inference), batch arrays annotated with NamedSharding, parameters replicated,
+and XLA GSPMD inserting the gradient/metric all-reduces over ICI.
+
+For n_devices > batch the flattened pixel-row axis of the L-TAE is the
+natural second axis — attention rows are independent, so spatial sharding
+needs no cross-device attention communication (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axes: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    mesh_devices = np.asarray(devices).reshape(shape)
+    return Mesh(mesh_devices, axis_names=tuple(axes))
+
+
+def batch_spec(batch: Dict[str, Any], axis: str = "data") -> Dict[str, P]:
+    """PartitionSpec tree sharding the leading (batch) dim of every array."""
+    return {k: P(axis) for k in batch}
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along its leading dim."""
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, P(axis)))
+        for k, v in batch.items()
+    }
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_step(step_fn, mesh: Mesh, axis: str = "data",
+                       donate_state: bool = True):
+    """Wrap a (state, batch, rng) -> (state, aux) step for the mesh.
+
+    State replicated, batch sharded on ``axis``; GSPMD derives the gradient
+    all-reduce. Metric confusion matrices come back replicated (summed).
+    """
+    repl = NamedSharding(mesh, P())
+
+    def in_shardings(state, batch, rng):
+        return (
+            jax.tree_util.tree_map(lambda _: repl, state),
+            {k: NamedSharding(mesh, P(axis)) for k in batch},
+            repl,
+        )
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+
+    def wrapped(state, batch, rng):
+        batch = shard_batch(batch, mesh, axis)
+        return jitted(state, batch, rng)
+
+    return wrapped
+
+
+def data_parallel_eval(step_fn, mesh: Mesh, axis: str = "data"):
+    jitted = jax.jit(step_fn)
+
+    def wrapped(state, batch):
+        batch = shard_batch(batch, mesh, axis)
+        return jitted(state, batch)
+
+    return wrapped

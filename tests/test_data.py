@@ -1,0 +1,92 @@
+"""Data layer: synthetic dataset contract, reader transforms, bucketing."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from crop2seg_tpu.data import (
+    BatchLoader, S2TSCZCropDataset, Transform, collate, load_norm_values,
+    make_synthetic_dataset)
+
+
+@pytest.fixture(scope="module")
+def ds_folder(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("s2ds")
+    return make_synthetic_dataset(str(folder), n_patches=8, hw=32)
+
+
+def test_dataset_contract(ds_folder):
+    norm = load_norm_values(os.path.join(ds_folder, "NORM_S2_patch.json"))
+    ds = S2TSCZCropDataset(ds_folder, norm=True, norm_values=norm,
+                           set_type="train", add_ndvi=True)
+    assert len(ds) >= 1
+    s = ds[0]
+    t = s["length"]
+    assert s["x"].shape == (t, 32, 32, 11)  # +NDVI channel
+    assert s["dates"].shape == (t,)
+    assert np.all(np.diff(s["dates"]) > 0)  # strictly increasing day offsets
+    assert s["y"].shape == (32, 32)
+    # NDVI channel bounded
+    assert np.abs(s["x"][..., -1]).max() <= 1.0 + 1e-6
+    # normalization: standardized magnitudes
+    assert np.abs(s["x"][..., :10]).mean() < 5.0
+
+
+def test_dataset_abs_rel_dates(ds_folder):
+    ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train",
+                           use_abs_rel_enc=True)
+    s = ds[0]
+    assert s["dates"].shape == (s["length"], 2)
+    doy = s["dates"][:, 1]
+    assert doy.min() >= 1 and doy.max() <= 366
+
+
+def test_mono_date(ds_folder):
+    ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train",
+                           mono_date=0)
+    s = ds[0]
+    assert s["length"] == 1 and s["x"].shape[0] == 1
+
+
+def test_bucket_collate(ds_folder):
+    ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train")
+    samples = [ds[i] for i in range(min(4, len(ds)))]
+    batch = collate(samples, t_buckets=(32, 48, 61))
+    tb = batch["x"].shape[1]
+    assert tb in (32, 48, 61)
+    assert batch["pad_mask"].shape == (len(samples), tb)
+    for i, s in enumerate(samples):
+        assert batch["pad_mask"][i].sum() == tb - s["length"]
+        np.testing.assert_array_equal(batch["x"][i, s["length"]:], 0.0)
+
+
+def test_loader_epoch(ds_folder):
+    ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train")
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, drop_last=False)
+    batches = list(loader)
+    assert sum(b["x"].shape[0] for b in batches) == len(ds)
+    assert all(b["x"].ndim == 5 for b in batches)
+
+
+def test_transform_joint_geometry():
+    rng = np.random.default_rng(0)
+    img = np.zeros((3, 2, 16, 16), np.float32)
+    img[:, :, 4, 2] = 1.0
+    mask = np.zeros((16, 16), np.int64)
+    mask[4, 2] = 7
+    tr = Transform()
+    for _ in range(10):
+        im2, mk2 = tr(img.copy(), mask.copy(), rng)
+        # the marked pixel must land at the same place in img and mask
+        iy, ix = np.argwhere(mk2 == 7)[0] if (mk2 == 7).any() else (None, None)
+        if iy is not None:
+            assert im2[0, 0, iy, ix] == 1.0
+
+
+def test_temporal_dropout(ds_folder):
+    ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train",
+                           temporal_dropout=0.5, seed=1)
+    full = S2TSCZCropDataset(ds_folder, norm=False, set_type="train")
+    s = ds[0]
+    assert 1 <= s["length"] <= full[0]["length"]
