@@ -45,6 +45,7 @@ class TimeUNet(nn.Module):
     num_queries: int = 1
     use_doy: bool = False
     add_linear: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -69,7 +70,8 @@ class TimeUNet(nn.Module):
             in_channels=enc_w[0], d_model=self.d_model, n_head=self.n_head,
             d_k=self.d_k, mlp=(self.d_model, enc_w[0]),
             use_abs_rel_enc=self.use_abs_rel_enc, num_queries=self.num_queries,
-            use_doy=use_doy, add_linear=self.add_linear, dtype=self.dtype,
+            use_doy=use_doy, add_linear=self.add_linear,
+            use_pallas=self.use_pallas, dtype=self.dtype,
             name="temporal_encoder",
         )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train)
 

@@ -52,6 +52,7 @@ class UTAE(nn.Module):
     use_doy: bool = False
     add_linear: bool = False
     add_boundary_loss: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -95,7 +96,8 @@ class UTAE(nn.Module):
             in_channels=enc_w[-1], d_model=self.d_model, n_head=self.n_head,
             d_k=self.d_k, mlp=(self.d_model, dec_w[-1]),
             use_abs_rel_enc=self.use_abs_rel_enc, num_queries=self.num_queries,
-            use_doy=use_doy, add_linear=self.add_linear, dtype=self.dtype,
+            use_doy=use_doy, add_linear=self.add_linear,
+            use_pallas=self.use_pallas, dtype=self.dtype,
             name="temporal_encoder",
         )(feature_maps[-1], batch_positions=batch_positions,
           pad_mask=pad_mask, train=train)

@@ -117,6 +117,9 @@ class LTAE(nn.Module):
     use_doy: bool = False
     num_queries: int = 1
     add_linear: bool = False
+    # Use the fused Pallas kernel (crop2seg_tpu.ops.ltae_pallas) on the
+    # inference path (eval, num_queries=1). Training keeps the XLA path.
+    use_pallas: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -166,10 +169,55 @@ class LTAE(nn.Module):
             h = h + pe[:, None, None, :, :].astype(h.dtype)  # (B,1,1,T,d)
         return h
 
+    def _pe(self, batch_positions: jax.Array) -> jax.Array:
+        if self.use_abs_rel_enc:
+            return (self.positional_encoder(batch_positions[..., 0])
+                    + self.positional_encoder_abs(batch_positions[..., 1]))
+        bp = batch_positions if batch_positions.ndim == 2 else batch_positions[..., 0]
+        return self.positional_encoder(bp)
+
+    def _fused(self, x: jax.Array, batch_positions: jax.Array,
+               pad_mask: jax.Array | None):
+        """Fused Pallas path (eval, nq=1); x: (B, H, W, T, C)."""
+        from crop2seg_tpu.ops.ltae_pallas import (
+            fold_batchnorm, ltae_fused_forward)
+
+        b, hh, ww, t, c = x.shape
+        pe = self._pe(batch_positions) if self.positional_encoding else \
+            jnp.zeros((b, t, self.d_model or c), x.dtype)
+        wm = self.mlp_dense.variables["params"]["kernel"]
+        bm = self.mlp_dense.variables["params"]["bias"]
+        bn_p = self.mlp_bn.variables["params"]
+        bn_s = self.mlp_bn.variables["batch_stats"]
+        wm, bm = fold_batchnorm(wm, bm, bn_p["scale"], bn_p["bias"],
+                                bn_s["mean"], bn_s["var"])
+        att_p = self.attention.variables["params"]
+        params = {
+            "in_scale": self.in_scale, "in_bias": self.in_bias,
+            "win": self.inconv.variables["params"]["kernel"],
+            "bin": self.inconv.variables["params"]["bias"],
+            "wk": att_p["fc1_k"]["kernel"], "bk": att_p["fc1_k"]["bias"],
+            "q": att_p["query"][:, 0, :],
+            "wm_folded": wm, "bm_folded": bm,
+            "out_scale": self.out_scale, "out_bias": self.out_bias,
+        }
+        if pad_mask is None:
+            pad_mask = jnp.zeros((b, t), bool)
+        rows = x.reshape(b, hh * ww, t, c)
+        out, attn = ltae_fused_forward(
+            rows, pe.astype(jnp.float32), pad_mask, params,
+            n_head=self.n_head, d_k=self.d_k,
+            row_block=min(64, hh * ww))
+        return (out.reshape(b, hh, ww, -1),
+                attn.reshape(b, hh, ww, self.n_head, t))
+
     def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
                  pad_mask: jax.Array | None = None, train: bool = False):
         # (B, T, H, W, C) -> (B, H, W, T, C): attention is per pixel row.
         x = jnp.transpose(x, (0, 2, 3, 1, 4))
+        if (self.use_pallas and not train and self.num_queries == 1
+                and self.d_model is not None and not self.is_initializing()):
+            return self._fused(x, batch_positions, pad_mask)
         h = self.embed(x, batch_positions)
         out, attn = self.attention(h, pad_mask=pad_mask, train=train)
 

@@ -1,0 +1,295 @@
+#!/usr/bin/env python
+"""Training / evaluation CLI for crop2seg_tpu.
+
+Preserves the reference CLI surface (/root/reference/train.py:23-190 — same
+flag names, defaults, list-string parsing, conf.json/resume/test contract)
+while running a TPU-native stack: jitted train step over a jax.sharding data
+mesh, fixed-T bucket batching, orbax checkpoints.
+
+TPU-specific additions: --t_buckets, --bf16, --synthetic (run on a generated
+miniature dataset), --platform.
+"""
+import argparse
+import ast
+import json
+import logging
+import os
+import random
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+parser = argparse.ArgumentParser()
+# Model parameters (reference train.py:25-59)
+parser.add_argument("--model", default="utae", type=str,
+                    help="utae/wtae/timeunet/unet3d/convlstm/convgru/uconvlstm/unet_naive")
+parser.add_argument("--encoder_widths", default="[64,64,64,128]", type=str)
+parser.add_argument("--decoder_widths", default="[32,32,64,128]", type=str)
+parser.add_argument("--out_conv", default="[32, 15]")
+parser.add_argument("--str_conv_k", default=4, type=int)
+parser.add_argument("--str_conv_s", default=2, type=int)
+parser.add_argument("--str_conv_p", default=1, type=int)
+parser.add_argument("--agg_mode", default="att_group", type=str)
+parser.add_argument("--encoder_norm", default="group", type=str)
+parser.add_argument("--n_head", default=16, type=int)
+parser.add_argument("--d_model", default=256, type=int)
+parser.add_argument("--d_k", default=4, type=int)
+parser.add_argument("--input_dim", default=10, type=int)
+parser.add_argument("--num_queries", default=1, type=int)
+parser.add_argument("--temporal_dropout", default=0., type=float)
+parser.add_argument("--augment", action="store_true")
+parser.add_argument("--add_linear", action="store_true")
+parser.add_argument("--add_boundary_loss", action="store_true")
+parser.add_argument("--get_affine", action="store_true")
+parser.add_argument("--max_temp", default=None, type=int)
+parser.add_argument("--dataset", default="s2tsczcrops", type=str,
+                    help="s2tsczcrops/pastis/synthetic")
+# Set-up parameters (reference train.py:69-131)
+parser.add_argument("--test", action="store_true")
+parser.add_argument("--test_region", default="all")
+parser.add_argument("--finetune", action="store_true")
+parser.add_argument("--dataset_folder", default="", type=str)
+parser.add_argument("--norm_values_folder", default="", type=str)
+parser.add_argument("--weight_folder", default=None, type=str)
+parser.add_argument("--res_dir", default="./results", type=str)
+parser.add_argument("--rdm_seed", default=1, type=int)
+parser.add_argument("--device", default="tpu", type=str,
+                    help="kept for CLI compatibility; device choice is JAX's")
+parser.add_argument("--display_step", default=50, type=int)
+parser.add_argument("--cache", dest="cache", action="store_true")
+# Training parameters (reference train.py:133-190)
+parser.add_argument("--epochs", default=25, type=int)
+parser.add_argument("--batch_size", default=4, type=int)
+parser.add_argument("--lr", default=0.001, type=float)
+parser.add_argument("--mono_date", default=None, type=str)
+parser.add_argument("--ref_date", default="2018-09-01", type=str)
+parser.add_argument("--fold", default=None, type=int)
+parser.add_argument("--num_classes", default=15, type=int)
+parser.add_argument("--ignore_index", default=-1, type=int)
+parser.add_argument("--pad_value", default=0, type=float)
+parser.add_argument("--padding_mode", default="reflect", type=str)
+parser.add_argument("--conv_type", default="2d", type=str)
+parser.add_argument("--use_mbconv", action="store_true")
+parser.add_argument("--add_squeeze", action="store_true")
+parser.add_argument("--use_doy", action="store_true")
+parser.add_argument("--add_ndvi", action="store_true")
+parser.add_argument("--use_abs_rel_enc", action="store_true")
+parser.add_argument("--label_smoothing", default=0.0, type=float)
+parser.add_argument("--val_every", default=1, type=int)
+parser.add_argument("--val_after", default=0, type=int)
+# TPU-native additions
+parser.add_argument("--t_buckets", default="[32,48,61]", type=str,
+                    help="fixed temporal pad buckets (one compile per bucket)")
+parser.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute dtype (params stay fp32)")
+parser.add_argument("--num_devices", default=None, type=int,
+                    help="restrict the data mesh to the first N devices")
+parser.add_argument("--synthetic_patches", default=12, type=int)
+
+LIST_ARGS = ("encoder_widths", "decoder_widths", "out_conv", "t_buckets")
+
+
+def parse_config(argv=None):
+    config = parser.parse_args(argv)
+    for name in LIST_ARGS:
+        v = getattr(config, name)
+        if isinstance(v, str):
+            setattr(config, name, list(ast.literal_eval(v)))
+    return config
+
+
+def build_datasets(config):
+    from crop2seg_tpu.data import (
+        S2TSCZCropDataset, Transform, load_norm_values, make_synthetic_dataset)
+
+    folder = config.dataset_folder
+    if config.dataset == "synthetic":
+        folder = folder or os.path.join(config.res_dir, "synthetic_data")
+        if not os.path.exists(os.path.join(folder, "metadata.json")):
+            make_synthetic_dataset(folder, n_patches=config.synthetic_patches)
+    norm_folder = config.norm_values_folder or folder
+    norm_path = os.path.join(norm_folder, "NORM_S2_patch.json")
+    norm_values = load_norm_values(norm_path) if os.path.exists(norm_path) else None
+
+    common = dict(
+        folder=folder, norm=norm_values is not None, norm_values=norm_values,
+        reference_date=config.ref_date, mono_date=config.mono_date,
+        use_doy=config.use_doy, use_abs_rel_enc=config.use_abs_rel_enc,
+        add_ndvi=config.add_ndvi, get_affine=config.get_affine,
+        cache=config.cache, seed=config.rdm_seed,
+    )
+    if config.dataset == "pastis":
+        from crop2seg_tpu.data.pastis import PASTISDataset
+        mk = lambda st: PASTISDataset(set_type=st, folds=None, **common)
+    else:
+        mk = lambda st, tr=None, td=0.0: S2TSCZCropDataset(
+            set_type=st, transform=tr, temporal_dropout=td, **common)
+    train_tr = Transform() if config.augment else None
+    return (mk("train", train_tr, config.temporal_dropout), mk("val"),
+            mk("test"))
+
+
+def to_device_batch(batch):
+    import jax.numpy as jnp
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if k in ("x", "dates", "pad_mask", "y")}
+
+
+def main(config):
+    import jax
+    import jax.numpy as jnp
+
+    from crop2seg_tpu.data import BatchLoader
+    from crop2seg_tpu.learning import (
+        StepConfig, apply_reference_init, create_train_state, make_eval_step,
+        make_train_step, run_epoch)
+    from crop2seg_tpu.learning import checkpoint as ckpt
+    from crop2seg_tpu.models.factory import get_model
+
+    random.seed(config.rdm_seed)
+    np.random.seed(config.rdm_seed)
+    rng = jax.random.PRNGKey(config.rdm_seed)
+
+    is_test_run = config.test
+    fold = config.fold or 1
+    config.fold = fold
+
+    # resume/test: conf.json from weight_folder wins (reference :246-254)
+    if config.weight_folder:
+        conf_path = os.path.join(config.weight_folder, "conf.json")
+        if os.path.exists(conf_path):
+            stored = ckpt.load_conf(config.weight_folder)
+            keep = {"dataset_folder", "norm_values_folder", "res_dir",
+                    "weight_folder", "test", "test_region", "finetune",
+                    "epochs", "batch_size", "num_devices"}
+            for k, v in stored.items():
+                if k not in keep and hasattr(config, k):
+                    setattr(config, k, v)
+
+    os.makedirs(config.res_dir, exist_ok=True)
+    fold_dir = ckpt.prepare_output(config.res_dir, fold)
+    ckpt.save_conf(config.res_dir, vars(config))
+
+    dt_train, dt_val, dt_test = build_datasets(config)
+    logging.info("train/val/test sizes: %d/%d/%d",
+                 len(dt_train), len(dt_val), len(dt_test))
+
+    loader_kw = dict(t_buckets=tuple(config.t_buckets),
+                     pad_value=config.pad_value)
+    train_loader = BatchLoader(dt_train, config.batch_size, shuffle=True,
+                               drop_last=True, seed=config.rdm_seed, **loader_kw)
+    val_loader = BatchLoader(dt_val, config.batch_size, shuffle=False,
+                             drop_last=False, **loader_kw)
+    test_loader = BatchLoader(dt_test, config.batch_size, shuffle=False,
+                              drop_last=False, **loader_kw)
+
+    if config.bf16:
+        config_dtype = jnp.bfloat16
+    else:
+        config_dtype = None
+    model_cfg = dict(vars(config))
+    model_cfg["dtype"] = config_dtype
+    model = get_model(model_cfg)
+
+    # init from a sample batch
+    sample = to_device_batch(next(iter(val_loader if is_test_run else train_loader)))
+    rng, init_rng, winit_rng = jax.random.split(rng, 3)
+    variables = model.init(init_rng, sample["x"], sample["dates"],
+                           pad_mask=sample["pad_mask"], train=False)
+
+    if config.weight_folder:
+        torch_path = os.path.join(config.weight_folder, f"Fold_{fold}",
+                                  "model.pth.tar")
+        orbax_path = os.path.join(config.weight_folder, f"Fold_{fold}",
+                                  "model.ckpt")
+        if os.path.exists(orbax_path):
+            payload = ckpt.load_state(os.path.join(config.weight_folder,
+                                                   f"Fold_{fold}"))
+            variables = {"params": payload["params"],
+                         "batch_stats": payload.get("batch_stats", {})}
+            logging.info("restored orbax checkpoint (epoch %s, best %s)",
+                         payload["meta"]["epoch"], payload["meta"]["best_mIoU"])
+        elif os.path.exists(torch_path):
+            variables = ckpt.load_torch_checkpoint(
+                torch_path, config.model,
+                n_stages=len(config.encoder_widths),
+                use_doy=config.use_doy, add_linear=config.add_linear,
+                use_abs_rel_enc=config.use_abs_rel_enc,
+                add_boundary=config.add_boundary_loss)
+            logging.info("imported reference torch checkpoint %s", torch_path)
+        else:
+            raise FileNotFoundError(f"no checkpoint under {config.weight_folder}")
+    else:
+        variables = apply_reference_init(variables, winit_rng)
+
+    weights = [1.0] * config.num_classes
+    weights[config.ignore_index] = 0.0
+    step_cfg = StepConfig(
+        num_classes=config.num_classes, ignore_index=config.ignore_index,
+        class_weights=tuple(weights), label_smoothing=config.label_smoothing,
+        add_boundary_loss=config.add_boundary_loss,
+        test_region="all")
+    state = create_train_state(model, variables, config.lr)
+
+    train_step = jax.jit(make_train_step(model, step_cfg))
+    eval_step = jax.jit(make_eval_step(model, step_cfg))
+
+    trainlog = {}
+    best_miou = 0.0
+    if not is_test_run:
+        for epoch in range(1, config.epochs + 1):
+            logging.info("EPOCH %d/%d", epoch, config.epochs)
+            rng, erng = jax.random.split(rng)
+            state, train_metrics, _ = run_epoch(
+                train_step, state,
+                map(to_device_batch, train_loader), step_cfg, mode="train",
+                rng=erng, display_step=config.display_step,
+                log_fn=logging.info)
+            if epoch % config.val_every == 0 and epoch > config.val_after:
+                _, val_metrics, _ = run_epoch(
+                    eval_step, state, map(to_device_batch, val_loader),
+                    step_cfg, mode="val", log_fn=logging.info)
+                logging.info("Loss %.4f, Acc %.2f, IoU %.4f",
+                             val_metrics["val_loss"],
+                             val_metrics["val_accuracy"],
+                             val_metrics["val_IoU"])
+                trainlog[epoch] = {**train_metrics, **val_metrics}
+                ckpt.checkpoint_log(fold_dir, trainlog)
+                if val_metrics["val_IoU"] >= best_miou:
+                    best_miou = val_metrics["val_IoU"]
+                    ckpt.save_state(fold_dir, state, epoch, best_miou)
+            else:
+                trainlog[epoch] = dict(train_metrics)
+                ckpt.checkpoint_log(fold_dir, trainlog)
+        # reload best
+        payload = ckpt.load_state(fold_dir)
+        state = state.replace(params=payload["params"],
+                              batch_stats=payload.get("batch_stats", {}))
+
+    logging.info("TESTING BEST EPOCH (region=%s)...", config.test_region)
+    test_cfg = StepConfig(
+        num_classes=config.num_classes, ignore_index=config.ignore_index,
+        class_weights=tuple(weights), label_smoothing=config.label_smoothing,
+        add_boundary_loss=config.add_boundary_loss,
+        test_region=config.test_region)
+    test_step = jax.jit(make_eval_step(model, test_cfg))
+    _, test_metrics, cms = run_epoch(
+        test_step, state, map(to_device_batch, test_loader), test_cfg,
+        mode="test", log_fn=logging.info)
+    logging.info("test metrics: %s", test_metrics)
+    ckpt.save_results(fold_dir, test_metrics, cms, region=config.test_region)
+    ign = config.ignore_index % config.num_classes
+    cm = cms["top1"].astype(np.float64)
+    cm[:, ign] = 0
+    cm[ign, :] = 0
+    ckpt.overall_performance(config.res_dir, cm, region=config.test_region)
+    return test_metrics
+
+
+if __name__ == "__main__":
+    cfg = parse_config()
+    t0 = time.time()
+    main(cfg)
+    logging.info("total time: %.1fs", time.time() - t0)
