@@ -1,0 +1,234 @@
+"""Headless whole-tile crop-map pipeline (the webapp's engine).
+
+Re-design of the Streamlit call stack at
+/root/reference/crop2seg.py:263-385 + /root/reference/src/webapp/:
+- ``get_info``: patch-cell picking on the 10x10 sub-grid of a Sentinel-2
+  tile (reference home.py:13-77 + get_data.py:33-69,176-185); the cell is
+  1098 px @ 10 m.
+- ``get_time_series``: acquisition + patchification via CopernicusClient +
+  DatasetCreator(for_inference=True) with the retry-with-relaxed-clouds
+  policy (reference get_data.py:188-247).
+- ``generate_prediction``: batched TPU inference over the 100 patches with
+  device-side stitch (replaces the reference's batch-1 CPU loop,
+  prediction.py:253-355), raster export, raster-space polygonize and
+  optional LPIS homogenization.
+- ``CacheManager``: cache sizing/cleanup (reference cache_management.py:21-116).
+
+Inference defaults mirror the reference's hard-coded webapp config
+(prediction.py:185-211): TimeUNet_v1, 15 classes, ref_date = {year-1}-09-01,
+pretrained weights + NORM_S2_patch.json from a model directory.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+CELL_PX = 1098         # webapp sub-cell edge in 10 m pixels
+CELLS_PER_SIDE = 10    # 10x10 = 100 cells per tile (reference parts=11)
+TILE_PX = 10980
+
+
+def tile_cell_bounds(tile_origin_xy: Tuple[float, float], cell_idx: int,
+                     res: float = 10.0) -> Tuple[float, float, float, float]:
+    """Cell index (0..99, row-major) -> (left, bottom, right, top) in the
+    tile CRS; tile_origin_xy is the tile's upper-left corner."""
+    r, c = divmod(cell_idx, CELLS_PER_SIDE)
+    left = tile_origin_xy[0] + c * CELL_PX * res
+    top = tile_origin_xy[1] - r * CELL_PX * res
+    return (left, top - CELL_PX * res, left + CELL_PX * res, top)
+
+
+def get_info(tile_name: str, cell_idx: int,
+             tile_origin_xy: Optional[Tuple[float, float]] = None) -> Dict:
+    """Resolve a picked cell to tile + bounds (reference get_data.py:176-185).
+
+    When ``tile_origin_xy`` is None the MGRS 100-km grid-square corner is
+    used (S2 footprints from the shapefile index are authoritative but need
+    network access; reference get_data.py:82-110 clones them)."""
+    if tile_origin_xy is None:
+        tile_origin_xy = mgrs_tile_origin(tile_name)
+    return {"tile": tile_name, "cell": cell_idx,
+            "bounds": tile_cell_bounds(tile_origin_xy, cell_idx),
+            "crs": 32600 + int(tile_name[1:3])}
+
+
+def mgrs_tile_origin(tile_name: str) -> Tuple[float, float]:
+    """Approximate UTM upper-left corner of an S2 tile from its MGRS id.
+
+    Uses the 100-km grid-square layout (column letter -> easting, row letter
+    -> northing, AA pattern). Good to the grid-square corner; the official
+    S2 footprint extends 4.9 km beyond it on each side (tiles overlap).
+    """
+    zone = int(tile_name[1:3])
+    band, col_letter, row_letter = tile_name[3], tile_name[4], tile_name[5]
+    col_sets = ["ABCDEFGH", "JKLMNPQR", "STUVWXYZ"]
+    cols = col_sets[(zone - 1) % 3]
+    easting = (cols.index(col_letter) + 1) * 100000.0
+    rows = "ABCDEFGHJKLMNPQRSTUV"
+    row_cycle = rows if zone % 2 == 1 else rows[5:] + rows[:5]
+    row_idx = row_cycle.index(row_letter)
+    # resolve the 2,000,000 m row ambiguity with the latitude band's centre
+    band_lat = -80 + 8 * ("CDEFGHJKLMNPQRSTUVWX".index(band)) + 4
+    approx_northing = band_lat * 111000.0
+    northing = row_idx * 100000.0
+    while northing + 1000000 < approx_northing:
+        northing += 2000000.0
+    return (easting, northing + 100000.0)  # upper-left of the 100k square
+
+
+def get_time_series(tile_name: str, bounds, cache_dir: str, client=None,
+                    loader=None, relax_steps=(0, 10, 20)) -> str:
+    """Build the 100-patch inference time series for a cell
+    (reference get_ts, get_data.py:188-247): DatasetCreator(for_inference)
+    with download, retrying with cloud caps relaxed by ``relax_steps``."""
+    from crop2seg_tpu.gis.dataset_creator import DatasetCreator
+
+    out = os.path.join(cache_dir, "s2_patches", tile_name)
+    if os.path.exists(os.path.join(out, "metadata.json")):
+        logging.info("time series already generated, skipping")
+        return out
+    last_err = None
+    for relax in relax_steps:
+        try:
+            if client is not None and relax:
+                client.cfg = type(client.cfg)(**{
+                    **client.cfg.__dict__,
+                    "clouds": tuple(min(c + relax, 100)
+                                    for c in client.cfg.clouds)})
+            dc = DatasetCreator(out, loader=loader, for_inference=True,
+                                download=client is not None, client=client)
+            dc.run_tile(tile_name, bounds=bounds)
+            return out
+        except Exception as err:  # retry with relaxed clouds (reference :230-246)
+            logging.warning("acquisition failed (%s); relaxing clouds", err)
+            last_err = err
+    raise RuntimeError(f"time-series acquisition failed: {last_err}")
+
+
+def generate_prediction(data_folder: str, model_dir: str, year: int,
+                        cache_dir: str, use_pallas: bool = True,
+                        lpis_parcels: Optional[np.ndarray] = None,
+                        batch_size: int = 10) -> Dict[str, np.ndarray]:
+    """Whole-cell crop map (reference prediction.py:253-355, TPU-native).
+
+    data_folder: DatasetCreator(for_inference) output (100 patches).
+    model_dir: directory with conf.json + Fold_1/model.ckpt (or the
+    reference's model.pth.tar) + NORM_S2_patch.json.
+    Returns {'proba', 'classes', 'segments', 'soft'} plus writes the raster
+    + homogenized map into the cache.
+    """
+    import jax.numpy as jnp
+
+    from crop2seg_tpu.data import S2TSCZCropDataset, load_norm_values
+    from crop2seg_tpu.gis.postprocess import (
+        homogenize_raster, polygonize, soften_by_segments)
+    from crop2seg_tpu.gis.raster import Affine, save_prediction_raster
+    from crop2seg_tpu.learning import checkpoint as ckpt
+    from crop2seg_tpu.models.factory import get_model
+
+    pred_dir = os.path.join(cache_dir, "prediction")
+    os.makedirs(pred_dir, exist_ok=True)
+    done_marker = os.path.join(pred_dir, "classes.npy")
+    # webapp config contract (reference prediction.py:185-211)
+    conf = {"model": "timeunet", "num_classes": 15, "input_dim": 10,
+            "ref_date": f"{year - 1}-09-01"}
+    conf_path = os.path.join(model_dir, "conf.json")
+    if os.path.exists(conf_path):
+        stored = json.load(open(conf_path))
+        stored.pop("dtype", None)
+        conf.update(stored)
+    conf["use_pallas"] = use_pallas
+    model = get_model({**conf, "out_conv": conf.get("out_conv", [32, 15])})
+
+    norm = load_norm_values(os.path.join(model_dir, "NORM_S2_patch.json"))
+    ds = S2TSCZCropDataset(data_folder, norm=True, norm_values=norm,
+                           set_type="train", for_inference=True,
+                           reference_date=conf["ref_date"])
+    # all 100 patches of a cell share dates; assemble the (T, 1098^2, C) tile
+    samples = [ds[i] for i in range(len(ds))]
+    t = samples[0]["length"]
+    dates = samples[0]["dates"]
+
+    fold_dir = os.path.join(model_dir, "Fold_1")
+    if os.path.exists(os.path.join(fold_dir, "model.ckpt")):
+        payload = ckpt.load_state(fold_dir)
+        variables = {"params": payload["params"],
+                     "batch_stats": payload.get("batch_stats", {})}
+    else:
+        variables = ckpt.load_torch_checkpoint(
+            os.path.join(fold_dir, "model.pth.tar"), conf["model"],
+            n_stages=len(conf.get("encoder_widths", (64, 64, 64, 128))))
+
+    # batched forward over the 100 patches + device-side stitch
+    import jax
+    from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
+    from crop2seg_tpu.ops.patchify import stitch_inference_tile
+
+    patch_stack = jnp.asarray(np.stack([s["x"] for s in samples]))  # (100,T,128,128,C)
+    dates_j = jnp.tile(jnp.asarray(dates)[None, :], (batch_size, 1))
+    mask_j = jnp.tile(pad_mask_from_lengths(jnp.asarray([t]), t),
+                      (batch_size, 1))
+    fwd = jax.jit(lambda v, xb: jax.nn.softmax(
+        model.apply(v, xb, dates_j, pad_mask=mask_j,
+                    train=False).astype(jnp.float32), axis=-1))
+    probs = []
+    for s0 in range(0, patch_stack.shape[0], batch_size):
+        xb = patch_stack[s0:s0 + batch_size]
+        nb = xb.shape[0]
+        if nb < batch_size:
+            xb = jnp.concatenate([xb, jnp.zeros(
+                (batch_size - nb,) + xb.shape[1:], xb.dtype)])
+        probs.append(fwd(variables, xb)[:nb])
+    proba_patches = jnp.concatenate(probs, axis=0)
+    proba = stitch_inference_tile(proba_patches)
+    out = {"proba": np.asarray(proba),
+           "classes": np.asarray(jnp.argmax(proba, -1).astype(jnp.uint8))}
+
+    np.save(done_marker, out["classes"])
+    affine = None
+    meta = json.load(open(os.path.join(data_folder, "metadata.json")))
+    if meta and "affine" in meta[0]:
+        affine = Affine(*meta[0]["affine"])
+    save_prediction_raster(os.path.join(pred_dir, "prediction.tif"),
+                           out["classes"], out["proba"], affine)
+    segments, seg_class = polygonize(out["classes"])
+    soft = soften_by_segments(out["proba"], segments)
+    result = {"proba": out["proba"], "classes": out["classes"],
+              "segments": segments, "soft": soft["raster"]}
+    if lpis_parcels is not None:
+        result["homogenized"] = homogenize_raster(out["classes"], lpis_parcels)
+        np.save(os.path.join(pred_dir, "homogenized.npy"),
+                result["homogenized"])
+    return result
+
+
+class CacheManager:
+    """Cache sizing + cleanup (reference cache_management.py:21-116)."""
+
+    SUBDIRS = ("lpis", "prediction", "s2_patches", "s2_tiles", "rasters")
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+        for sub in self.SUBDIRS:
+            os.makedirs(os.path.join(cache_dir, sub), exist_ok=True)
+
+    def sizes(self) -> Dict[str, int]:
+        out = {}
+        for sub in self.SUBDIRS:
+            total = 0
+            for root, _, files in os.walk(os.path.join(self.cache_dir, sub)):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+            out[sub] = total
+        return out
+
+    def clear(self, *subdirs: str) -> None:
+        for sub in subdirs or self.SUBDIRS:
+            path = os.path.join(self.cache_dir, sub)
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)

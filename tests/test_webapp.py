@@ -1,0 +1,101 @@
+"""Headless webapp pipeline: cell bounds, prediction flow, cache mgmt."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from crop2seg_tpu.webapp.pipeline import (
+    CELL_PX, CacheManager, generate_prediction, get_info, mgrs_tile_origin,
+    tile_cell_bounds)
+
+
+def test_cell_bounds_grid():
+    origin = (500000.0, 5600000.0)
+    b0 = tile_cell_bounds(origin, 0)
+    assert b0[0] == 500000.0 and b0[3] == 5600000.0
+    assert abs((b0[2] - b0[0]) - CELL_PX * 10) < 1e-6
+    b9 = tile_cell_bounds(origin, 9)      # row 0, col 9
+    assert b9[0] == 500000.0 + 9 * CELL_PX * 10
+    b10 = tile_cell_bounds(origin, 10)    # row 1, col 0
+    assert b10[3] == 5600000.0 - CELL_PX * 10
+
+
+def test_get_info_mgrs():
+    info = get_info("T33UVR", 5)
+    assert info["crs"] == 32633
+    left, bottom, right, top = info["bounds"]
+    assert right > left and top > bottom
+    e, n = mgrs_tile_origin("T33UVR")
+    assert e == 400000.0          # column V in set 3 -> 4th easting step
+    assert 5_000_000 < n < 6_500_000  # band U (Czech latitudes)
+
+
+def test_generate_prediction_end_to_end(tmp_path):
+    """Small end-to-end webapp inference with a trained-from-init model."""
+    import jax
+
+    from crop2seg_tpu.data.synthetic import make_synthetic_dataset
+    from crop2seg_tpu.learning import checkpoint as ckpt
+    from crop2seg_tpu.models.factory import get_model
+
+    # fake 'inference cell': reuse DatasetCreator contract with 4 patches by
+    # monkeypatching is heavy; instead make a tiny for_inference dataset dir
+    folder = str(tmp_path / "cell")
+    os.makedirs(folder + "/DATA_S2")
+    rng = np.random.default_rng(0)
+    t = 5
+    records = []
+    for i in range(100):
+        np.save(f"{folder}/DATA_S2/S2_{i}.npy",
+                rng.normal(500, 100, (t, 10, 128, 128)).astype(np.float32))
+        records.append({"ID_PATCH": i, "TILE": "T33UVR", "Status": "OK",
+                        "time-series_length": t, "crs": 32633, "set": "",
+                        "Fold": 1,
+                        "dates-S2": {str(j): 20190100 + j + 1 for j in range(t)},
+                        "affine": [10.0, 0.0, 500000.0, 0.0, -10.0, 5600000.0]})
+    json.dump(records, open(f"{folder}/metadata.json", "w"))
+
+    # model dir with conf + init checkpoint + norm values
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir + "/Fold_1")
+    conf = {"model": "timeunet", "num_classes": 15, "input_dim": 10,
+            "encoder_widths": [8, 8, 16], "decoder_widths": [4, 8, 16],
+            "out_conv": [8, 15], "n_head": 4, "d_model": 32, "d_k": 4,
+            "ref_date": "2018-09-01"}
+    json.dump(conf, open(model_dir + "/conf.json", "w"))
+    json.dump({"Fold_1": {"mean": [500.0] * 10, "std": [100.0] * 10}},
+              open(model_dir + "/NORM_S2_patch.json", "w"))
+    model = get_model(conf)
+    import jax.numpy as jnp
+    x0 = jnp.zeros((1, t, 128, 128, 10))
+    d0 = jnp.zeros((1, t))
+    variables = model.init(jax.random.PRNGKey(0), x0, d0, train=False)
+
+    from crop2seg_tpu.learning.trainer import create_train_state
+    state = create_train_state(model, variables, 1e-3)
+    ckpt.save_state(model_dir + "/Fold_1", state, 0, 0.0)
+
+    parcels = np.zeros((1098, 1098), np.int64)
+    parcels[:500, :500] = 1
+    cache = str(tmp_path / "cache")
+    result = generate_prediction(folder, model_dir, 2019, cache,
+                                 use_pallas=False, lpis_parcels=parcels,
+                                 batch_size=25)
+    assert result["classes"].shape == (1098, 1098)
+    assert result["proba"].shape == (1098, 1098, 15)
+    np.testing.assert_allclose(result["proba"].sum(-1), 1.0, atol=1e-4)
+    assert result["homogenized"].shape == (1098, 1098)
+    assert (result["homogenized"][600:, 600:] == 0).all()  # outside parcels
+    assert os.path.exists(os.path.join(cache, "prediction", "classes.npy"))
+
+
+def test_cache_manager(tmp_path):
+    cm = CacheManager(str(tmp_path / "cache"))
+    sizes = cm.sizes()
+    assert set(sizes) == set(CacheManager.SUBDIRS)
+    p = tmp_path / "cache" / "prediction" / "x.bin"
+    p.write_bytes(b"abc" * 100)
+    assert cm.sizes()["prediction"] == 300
+    cm.clear("prediction")
+    assert cm.sizes()["prediction"] == 0
