@@ -36,6 +36,7 @@ def get_model(config: Mapping[str, Any] | Any):
         return UTAE(agg_mode=cfg.get("agg_mode", "att_group"),
                     use_mbconv=cfg.get("use_mbconv", False),
                     add_boundary_loss=cfg.get("add_boundary_loss", False),
+                    use_pallas=cfg.get("use_pallas", False),
                     **common)
     if name == "wtae":
         from crop2seg_tpu.models.wtae import WTAE
@@ -45,7 +46,13 @@ def get_model(config: Mapping[str, Any] | Any):
                     **common)
     if name in ("timeunet", "timeunet_v1"):
         from crop2seg_tpu.models.timeunet import TimeUNet
-        return TimeUNet(**common)
+        return TimeUNet(use_pallas=cfg.get("use_pallas", False), **common)
+    if name == "timeunet_v2":
+        from crop2seg_tpu.models.timeunet_v2 import TimeUNetV2
+        common_v2 = {k: v for k, v in common.items()
+                     if k not in ("num_queries", "use_doy", "add_linear")}
+        return TimeUNetV2(agg_mode=cfg.get("agg_mode", "att_group"),
+                          **common_v2)
     if name == "unet3d":
         from crop2seg_tpu.models.unet3d import UNet3D
         return UNet3D(n_classes=cfg.get("num_classes", 15),

@@ -74,19 +74,22 @@ def _kernel(x_ref, pe_ref, mask_ref,
     # scores[n, g] = sum_d q[g, d] * k[n, g*d_k+d] / sqrt(d_k)
     # q arrives pre-flattened (1, n_head*d_k), head-major
     scores = mm(k * q_ref[:], sg_k) * (1.0 / np.sqrt(d_k))  # (R*T, G)
-    scores = scores.reshape(r, t, n_head)
+    # Move T to the LANE axis before the softmax: reducing over the middle
+    # axis of (R, T, G) with tiny G makes Mosaic pad G to 128 lanes and blow
+    # scoped VMEM; over the last axis of (R*G, T) it is a native reduction.
+    scores = jnp.swapaxes(scores.reshape(r, t, n_head), 1, 2)  # (R, G, T)
+    scores = scores.reshape(r * n_head, t)
     # pad mask: mask_ref (1, T) 1.0 at pads -> set to -1e6 (reference
     # tae.py:829-831 uses masked_fill, not add)
-    pad = mask_ref[0][None, :, None]
-    scores = jnp.where(pad > 0.5, -1e6, scores)
-    # softmax over T (axis=1)
+    scores = jnp.where(mask_ref[0][None, :] > 0.5, -1e6, scores)
     smax = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - smax)
-    attn = e / jnp.sum(e, axis=1, keepdims=True)          # (R, T, G)
+    attn = e / jnp.sum(e, axis=1, keepdims=True)          # (R*G, T)
 
     # --- head-grouped weighted sum over T ----------------------------------
     # broadcast each head's weight over its d_v channels via S.T, then sum T.
-    attn_big = mm(attn.reshape(r * t, n_head), sg_v.T)    # (R*T, d_model)
+    attn_rtg = jnp.swapaxes(attn.reshape(r, n_head, t), 1, 2)  # (R, T, G)
+    attn_big = mm(attn_rtg.reshape(r * t, n_head), sg_v.T)  # (R*T, d_model)
     o = jnp.sum((attn_big * h).reshape(r, t, d_model), axis=1)  # (R, d_model)
 
     # --- MLP (BatchNorm pre-folded) + ReLU ----------------------------------
@@ -102,8 +105,8 @@ def _kernel(x_ref, pe_ref, mask_ref,
     mn = dcen * oinv_big
     out_ref[0] = (mn * out_scale_ref[:][None, :]
                   + out_bias_ref[:][None, :]).astype(out_ref.dtype)
-    # attn output in (R, G, T) layout
-    attn_ref[0] = jnp.swapaxes(attn, 1, 2).astype(attn_ref.dtype)
+    # attn is already in (R*G, T) = (R, G, T) layout
+    attn_ref[0] = attn.reshape(r, n_head, t).astype(attn_ref.dtype)
 
 
 def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
@@ -115,7 +118,7 @@ def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
 
 def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        params: Dict[str, jax.Array], *, n_head: int = 16,
-                       d_k: int = 4, row_block: int = 64,
+                       d_k: int = 4, row_block: int = 32,
                        eps: float = 1e-5, interpret: bool | None = None):
     """Fused L-TAE forward.
 
