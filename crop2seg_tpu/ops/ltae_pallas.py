@@ -46,8 +46,12 @@ def _kernel(x_ref, pe_ref, mask_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 1)
         return (rows // (n_ch // g) == cols).astype(jnp.float32)
 
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    def mm(a, b, exact=False):
+        # exact=True forces fp32 MXU passes: the downstream 4-element
+        # GroupNorm amplifies bf16 rounding ~100x at near-constant groups.
+        precision = jax.lax.Precision.HIGHEST if exact else None
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=precision)
 
     sg_c = grouping(c, n_head)          # (C, G)
     sg_o = grouping(d_out, n_head)      # (d_out, G)
@@ -66,11 +70,11 @@ def _kernel(x_ref, pe_ref, mask_ref,
         + in_bias_ref[:][None, None, :]
 
     # --- 1x1 projection + positional encoding ------------------------------
-    h = mm(xn.reshape(r * t, c), win_ref[:]) + bin_ref[:][None, :]
+    h = mm(xn.reshape(r * t, c), win_ref[:], exact=True) + bin_ref[:][None, :]
     h = (h.reshape(r, t, d_model) + pe_ref[0][None, :, :]).reshape(r * t, d_model)
 
     # --- keys + scores ------------------------------------------------------
-    k = mm(h, wk_ref[:]) + bk_ref[:][None, :]             # (R*T, 64)
+    k = mm(h, wk_ref[:], exact=True) + bk_ref[:][None, :]             # (R*T, 64)
     # scores[n, g] = sum_d q[g, d] * k[n, g*d_k+d] / sqrt(d_k)
     # q arrives pre-flattened (1, n_head*d_k), head-major
     scores = mm(k * q_ref[:], sg_k) * (1.0 / np.sqrt(d_k))  # (R*T, G)
@@ -93,7 +97,7 @@ def _kernel(x_ref, pe_ref, mask_ref,
     o = jnp.sum((attn_big * h).reshape(r, t, d_model), axis=1)  # (R, d_model)
 
     # --- MLP (BatchNorm pre-folded) + ReLU ----------------------------------
-    m = mm(o, wm_ref[:]) + bm_ref[:][None, :]
+    m = mm(o, wm_ref[:], exact=True) + bm_ref[:][None, :]
     m = jnp.maximum(m, 0.0)
 
     # --- out GroupNorm per row over channel groups --------------------------
