@@ -36,7 +36,9 @@ def make_synthetic_dataset(folder: str, n_patches: int = 12,
         yy, xx = np.mgrid[0:hw, 0:hw]
         target = np.zeros((hw, hw), np.int64)
         for c in range(1, n_classes - 1):
-            cx, cy, r = rng.integers(0, hw, 2).tolist() + [rng.integers(8, hw // 3)]
+            r_hi = max(hw // 3, 4)
+            cx, cy, r = rng.integers(0, hw, 2).tolist() + \
+                [rng.integers(min(3, r_hi - 1), r_hi)]
             target[(yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2] = c
         base = rng.normal(500, 200, (1, 10, 1, 1))
         sig = np.zeros((t, 10, hw, hw), np.float32)

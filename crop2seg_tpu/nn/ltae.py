@@ -207,7 +207,7 @@ class LTAE(nn.Module):
         out, attn = ltae_fused_forward(
             rows, pe.astype(jnp.float32), pad_mask, params,
             n_head=self.n_head, d_k=self.d_k,
-            row_block=min(32, hh * ww))
+            row_block=min(16, hh * ww))
         return (out.reshape(b, hh, ww, -1),
                 attn.reshape(b, hh, ww, self.n_head, t))
 

@@ -46,9 +46,11 @@ def _kernel(x_ref, pe_ref, mask_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 1)
         return (rows // (n_ch // g) == cols).astype(jnp.float32)
 
-    def mm(a, b, exact=False):
-        # exact=True forces fp32 MXU passes: the downstream 4-element
-        # GroupNorm amplifies bf16 rounding ~100x at near-constant groups.
+    def mm(a, b, exact=True):
+        # fp32 MXU passes everywhere: grouped GroupNorm statistics flow
+        # through these matmuls and the downstream small-group norms amplify
+        # bf16 input rounding ~100x. The matmuls are tiny and the kernel is
+        # bandwidth/overhead bound, so exactness is nearly free.
         precision = jax.lax.Precision.HIGHEST if exact else None
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=precision)
@@ -70,11 +72,11 @@ def _kernel(x_ref, pe_ref, mask_ref,
         + in_bias_ref[:][None, None, :]
 
     # --- 1x1 projection + positional encoding ------------------------------
-    h = mm(xn.reshape(r * t, c), win_ref[:], exact=True) + bin_ref[:][None, :]
+    h = mm(xn.reshape(r * t, c), win_ref[:]) + bin_ref[:][None, :]
     h = (h.reshape(r, t, d_model) + pe_ref[0][None, :, :]).reshape(r * t, d_model)
 
     # --- keys + scores ------------------------------------------------------
-    k = mm(h, wk_ref[:], exact=True) + bk_ref[:][None, :]             # (R*T, 64)
+    k = mm(h, wk_ref[:]) + bk_ref[:][None, :]             # (R*T, 64)
     # scores[n, g] = sum_d q[g, d] * k[n, g*d_k+d] / sqrt(d_k)
     # q arrives pre-flattened (1, n_head*d_k), head-major
     scores = mm(k * q_ref[:], sg_k) * (1.0 / np.sqrt(d_k))  # (R*T, G)
@@ -97,7 +99,7 @@ def _kernel(x_ref, pe_ref, mask_ref,
     o = jnp.sum((attn_big * h).reshape(r, t, d_model), axis=1)  # (R, d_model)
 
     # --- MLP (BatchNorm pre-folded) + ReLU ----------------------------------
-    m = mm(o, wm_ref[:], exact=True) + bm_ref[:][None, :]
+    m = mm(o, wm_ref[:]) + bm_ref[:][None, :]
     m = jnp.maximum(m, 0.0)
 
     # --- out GroupNorm per row over channel groups --------------------------
@@ -122,7 +124,7 @@ def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
 
 def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        params: Dict[str, jax.Array], *, n_head: int = 16,
-                       d_k: int = 4, row_block: int = 32,
+                       d_k: int = 4, row_block: int = 16,
                        eps: float = 1e-5, interpret: bool | None = None):
     """Fused L-TAE forward.
 
