@@ -119,10 +119,15 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
     return step
 
 
-def make_eval_step(model, cfg: StepConfig) -> Callable:
+def make_eval_step(model, cfg: StepConfig, return_pred: bool = False) -> Callable:
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         _, (_, aux) = _loss_and_metrics(model, cfg, state.params,
                                         state.batch_stats, batch, False)
+        if return_pred:
+            out, _ = _forward(model, state.params, state.batch_stats, batch,
+                              False)
+            logits = out[0] if cfg.add_boundary_loss else out
+            aux["pred"] = jnp.argmax(logits, axis=-1)
         return aux
 
     return step
@@ -130,10 +135,16 @@ def make_eval_step(model, cfg: StepConfig) -> Callable:
 
 def run_epoch(step_fn, state, loader, cfg: StepConfig, mode: str = "train",
               rng: Optional[jax.Array] = None, display_step: int = 50,
-              log_fn=print) -> tuple:
+              log_fn=print, homogenizer: Optional[Callable] = None) -> tuple:
     """Host-side epoch loop over an iterable of batches — the TPU analogue of
     reference iterate() (learning/utils.py:225-449). Returns
-    (state, metrics_dict, cms)."""
+    (state, metrics_dict, cms).
+
+    ``homogenizer(pred (B,H,W) np, batch) -> (B,H,W)`` enables the reference's
+    get_affine evaluation path (learning/utils.py:341-361): predictions are
+    LPIS-homogenized on host before entering the confusion matrix; the eval
+    step must be built with return_pred=True.
+    """
     ignore = (None if cfg.ignore_index is None
               else cfg.ignore_index % cfg.num_classes)
     meter = IoUMeter(cfg.num_classes, ignore)
@@ -149,6 +160,11 @@ def run_epoch(step_fn, state, loader, cfg: StepConfig, mode: str = "train",
             aux = step_fn(state, batch)
         losses_sum += float(aux["loss"])
         n_batches += 1
+        if homogenizer is not None and "pred" in aux:
+            pred_h = homogenizer(np.asarray(aux["pred"]), batch)
+            aux = dict(aux)
+            aux["cm"] = confusion_matrix(
+                jnp.asarray(pred_h), batch["y"], cfg.num_classes)
         meter.add_cm(aux["cm"])
         meter2.add_cm(aux["cm_top2"])
         if meter_b is not None:

@@ -167,3 +167,26 @@ def test_recall_ce_runs():
     out = losses.recall_cross_entropy(_j(logits), jnp.asarray(target.numpy()),
                                       n_classes=K)
     assert np.isfinite(float(out))
+
+
+def test_profiling_utils():
+    import jax
+    import jax.numpy as jnp
+    from crop2seg_tpu.models import UTAE
+    from crop2seg_tpu.utils.profiling import (
+        StepMeter, count_params, inference_time, model_characteristics)
+
+    m = UTAE(input_dim=4, encoder_widths=(4, 8), decoder_widths=(4, 8),
+             out_conv=(4, 3), n_head=2, d_model=8, d_k=2)
+    stats = model_characteristics(m, batch_shape=(1, 3, 16, 16, 4))
+    assert stats["n_params"] > 0
+
+    fn = jax.jit(lambda x: x * 2)
+    t = inference_time(fn, (jnp.ones((8, 8)),), repetitions=5, warmup=1)
+    assert t["mean_ms"] > 0 and t["p99_ms"] >= t["p50_ms"]
+
+    meter = StepMeter()
+    meter.update(4)
+    meter.update(4)
+    rates = meter.rates()
+    assert rates["steps_per_sec"] > 0 and rates["samples_per_sec"] > 0

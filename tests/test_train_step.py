@@ -89,3 +89,21 @@ def test_eval_epoch_loop():
     assert 0 <= metrics["val_accuracy"] <= 100
     assert cms["top1"].sum() == 2 * B * H * W
     assert metrics["val_IoU_top2"] >= metrics["val_IoU"] - 1e-9
+
+
+def test_eval_with_homogenizer():
+    """get_affine-style eval: host homogenizer rewrites predictions before
+    the confusion matrix (reference learning/utils.py:341-361)."""
+    model, variables, batch = _model_and_batch()
+    cfg = StepConfig(num_classes=K)
+    state = create_train_state(model, variables, 1e-3)
+    estep = jax.jit(make_eval_step(model, cfg, return_pred=True))
+
+    target_np = np.asarray(batch["y"])
+
+    def perfect_homogenizer(pred, b):
+        return target_np  # oracle: replaces predictions with ground truth
+
+    _, metrics, _ = run_epoch(estep, state, [batch], cfg, mode="test",
+                              homogenizer=perfect_homogenizer)
+    assert metrics["test_accuracy"] == 100.0

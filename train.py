@@ -87,6 +87,10 @@ parser.add_argument("--bf16", action="store_true",
 parser.add_argument("--num_devices", default=None, type=int,
                     help="restrict the data mesh to the first N devices")
 parser.add_argument("--synthetic_patches", default=12, type=int)
+parser.add_argument("--use_weighted_sampling", action="store_true",
+                    help="weighted random sampling with replacement from the "
+                         "metadata 'weight' column (the reference builds this "
+                         "sampler at train.py:340-344)")
 
 LIST_ARGS = ("encoder_widths", "decoder_widths", "out_conv", "t_buckets")
 
@@ -178,8 +182,12 @@ def main(config):
 
     loader_kw = dict(t_buckets=tuple(config.t_buckets),
                      pad_value=config.pad_value)
+    sample_weights = None
+    if config.use_weighted_sampling and "weight" in dt_train.meta_patch:
+        sample_weights = dt_train.meta_patch["weight"].fillna(1.0).values
     train_loader = BatchLoader(dt_train, config.batch_size, shuffle=True,
-                               drop_last=True, seed=config.rdm_seed, **loader_kw)
+                               drop_last=True, seed=config.rdm_seed,
+                               sample_weights=sample_weights, **loader_kw)
     val_loader = BatchLoader(dt_val, config.batch_size, shuffle=False,
                              drop_last=False, **loader_kw)
     test_loader = BatchLoader(dt_test, config.batch_size, shuffle=False,
