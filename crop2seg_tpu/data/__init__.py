@@ -1,6 +1,7 @@
 from crop2seg_tpu.data.s2tsczcrop import (
     S2TSCZCropDataset, load_norm_values, PASTIS_CHANNEL_ORDER, LABELS,
 )
-from crop2seg_tpu.data.batcher import BatchLoader, collate, DEFAULT_T_BUCKETS
+from crop2seg_tpu.data.batcher import (BatchLoader, PrefetchLoader, collate,
+                                       DEFAULT_T_BUCKETS)
 from crop2seg_tpu.data.transforms import Transform
 from crop2seg_tpu.data.synthetic import make_synthetic_dataset

@@ -98,3 +98,47 @@ class BatchLoader:
                 return
             samples = [self.dataset[int(i)] for i in chunk]
             yield collate(samples, self.t_buckets, self.pad_value)
+
+
+class PrefetchLoader:
+    """Background-thread prefetcher wrapping a BatchLoader.
+
+    Overlaps host-side sample loading/augmentation with device compute (the
+    reference disabled its DataLoader workers entirely, train.py:110-112;
+    with one host core, overlapping IO with TPU steps is the available win).
+    """
+
+    def __init__(self, loader, prefetch: int = 2):
+        self.loader = loader
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except Exception as e:  # surface loader errors on the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -90,3 +90,13 @@ def test_temporal_dropout(ds_folder):
     full = S2TSCZCropDataset(ds_folder, norm=False, set_type="train")
     s = ds[0]
     assert 1 <= s["length"] <= full[0]["length"]
+
+
+def test_prefetch_loader(ds_folder):
+    from crop2seg_tpu.data.batcher import PrefetchLoader
+    ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train")
+    base = BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+    pre = PrefetchLoader(base, prefetch=2)
+    direct = [b["ids"].tolist() for b in base]
+    fetched = [b["ids"].tolist() for b in pre]
+    assert fetched == direct and len(pre) == len(base)

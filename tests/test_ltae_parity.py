@@ -133,3 +133,17 @@ def test_utae_boundary_absrel():
                  name="utae_absrel")
     assert_close(from_nhwc(np.asarray(y_b)), arrays["y_b"], rtol=5e-4,
                  atol=5e-4, name="utae_absrel.boundary")
+
+
+def test_ltae_num_queries_shapes():
+    """num_queries > 1 returns the rank-extended outputs
+    (reference tae.py:490-499)."""
+    m = LTAE(in_channels=16, n_head=4, d_k=4, mlp=(16, 8), d_model=16,
+             num_queries=3)
+    import jax
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 4, 4, 16))
+    dates = (jnp.arange(5) * 3.0)[None].repeat(2, 0)
+    v = m.init(jax.random.PRNGKey(1), x, dates, train=False)
+    out, attn = m.apply(v, x, dates, train=False)
+    assert out.shape == (2, 3, 4, 4, 8)       # (B, nq, H, W, C)
+    assert attn.shape == (2, 4, 4, 4, 3, 5)   # (B, H, W, head, nq, T)

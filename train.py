@@ -185,9 +185,10 @@ def main(config):
     sample_weights = None
     if config.use_weighted_sampling and "weight" in dt_train.meta_patch:
         sample_weights = dt_train.meta_patch["weight"].fillna(1.0).values
-    train_loader = BatchLoader(dt_train, config.batch_size, shuffle=True,
-                               drop_last=True, seed=config.rdm_seed,
-                               sample_weights=sample_weights, **loader_kw)
+    from crop2seg_tpu.data import PrefetchLoader
+    train_loader = PrefetchLoader(BatchLoader(
+        dt_train, config.batch_size, shuffle=True, drop_last=True,
+        seed=config.rdm_seed, sample_weights=sample_weights, **loader_kw))
     val_loader = BatchLoader(dt_val, config.batch_size, shuffle=False,
                              drop_last=False, **loader_kw)
     test_loader = BatchLoader(dt_test, config.batch_size, shuffle=False,
