@@ -40,15 +40,36 @@ def _group_norm_over_time(x: jax.Array, n_groups: int, scale: jax.Array,
                           bias: jax.Array, eps: float = 1e-5) -> jax.Array:
     """GroupNorm over joint (T, C/G) per pixel row, torch GroupNorm((N,C,T)).
 
-    x: (..., T, C). Stats are computed in fp32 for stability.
+    x: (..., T, C). Statistics in fp32; the big elementwise normalize stays
+    in x.dtype via a fused scale/shift (no fp32 materialization of x-sized
+    intermediates — the model is HBM-bound).
     """
     t, c = x.shape[-2], x.shape[-1]
-    g = x.reshape(x.shape[:-2] + (t, n_groups, c // n_groups)).astype(jnp.float32)
-    mean = jnp.mean(g, axis=(-3, -1), keepdims=True)
-    var = jnp.mean(jnp.square(g - mean), axis=(-3, -1), keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    g = g.reshape(x.shape)
-    return (g * scale + bias).astype(x.dtype)
+    g = x.reshape(x.shape[:-2] + (t, n_groups, c // n_groups))
+    mean = jnp.mean(g.astype(jnp.float32), axis=(-3, -1), keepdims=True)
+    var = jnp.mean(jnp.square(g.astype(jnp.float32) - mean), axis=(-3, -1),
+                   keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    sc = scale.reshape(n_groups, c // n_groups) * inv
+    sh = bias.reshape(n_groups, c // n_groups) - mean * sc
+    y = g.astype(jnp.float32) * sc + sh
+    return y.reshape(x.shape).astype(x.dtype)
+
+
+def _group_norm_btc(x: jax.Array, n_groups: int, scale: jax.Array,
+                    bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Same GroupNorm but on the natural (B, T, H, W, C) layout — stats over
+    (T, C/G) per pixel without transposing the big tensor."""
+    b, t, h, w, c = x.shape
+    g = x.reshape(b, t, h, w, n_groups, c // n_groups)
+    g32 = g.astype(jnp.float32)
+    mean = jnp.mean(g32, axis=(1, 5), keepdims=True)
+    var = jnp.mean(jnp.square(g32 - mean), axis=(1, 5), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    sc = scale.reshape(1, 1, 1, 1, n_groups, c // n_groups) * inv
+    sh = bias.reshape(1, 1, 1, 1, n_groups, c // n_groups) - mean * sc
+    y = g32 * sc + sh
+    return y.reshape(x.shape).astype(x.dtype)
 
 
 class MaskedLightweightAttention(nn.Module):
@@ -62,6 +83,11 @@ class MaskedLightweightAttention(nn.Module):
     d_k: int = 4
     num_queries: int = 1
     attn_dropout: float = 0.1
+    # time_major=True takes h as (B, T, H, W, d): the attention einsums
+    # contract the big tensor in its natural layout instead of transposing
+    # ~GBs of activations (the model is HBM-bound); only the small
+    # scores/attn tensors carry the permutation.
+    time_major: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -79,8 +105,9 @@ class MaskedLightweightAttention(nn.Module):
             kernel_init=nn.initializers.normal(stddev=float(np.sqrt(2.0 / self.d_k))),
         )(h)
         k = k.reshape(k.shape[:-1] + (self.n_head, self.d_k))
+        h_pat = "btxygd" if self.time_major else "bxytgd"
 
-        scores = jnp.einsum("gqd,bxytgd->bxygqt", q.astype(k.dtype), k)
+        scores = jnp.einsum(f"gqd,{h_pat}->bxygqt", q.astype(k.dtype), k)
         scores = scores / jnp.asarray(np.sqrt(self.d_k), scores.dtype)
         if pad_mask is not None:
             scores = jnp.where(
@@ -91,7 +118,7 @@ class MaskedLightweightAttention(nn.Module):
                           name="attn_drop")(attn)
 
         v = h.reshape(h.shape[:-1] + (self.n_head, d_v))
-        out = jnp.einsum("bxygqt,bxytgd->bxyqgd", attn, v)
+        out = jnp.einsum(f"bxygqt,{h_pat}->bxyqgd", attn, v)
         out = out.reshape(out.shape[:-2] + (d_model,))  # concat heads (head-major)
         return out, attn
 
@@ -145,7 +172,7 @@ class LTAE(nn.Module):
                                   (self.in_channels,), jnp.float32)
         self.attention = MaskedLightweightAttention(
             n_head=self.n_head, d_k=self.d_k, num_queries=self.num_queries,
-            dtype=self.dtype)
+            time_major=True, dtype=self.dtype)
         self.mlp_dense = nn.Dense(self.mlp[1], dtype=self.dtype)
         self.mlp_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         self.out_scale = self.param("out_norm_scale", nn.initializers.ones,
@@ -155,18 +182,14 @@ class LTAE(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     def embed(self, x: jax.Array, batch_positions: jax.Array) -> jax.Array:
-        """GroupNorm -> 1x1 proj -> +PE. x: (B, H, W, T, C) -> (B, H, W, T, d_model)."""
-        h = _group_norm_over_time(x, self.n_head, self.in_scale, self.in_bias)
+        """GroupNorm -> 1x1 proj -> +PE in the natural time-major layout.
+        x: (B, T, H, W, C) -> (B, T, H, W, d_model)."""
+        h = _group_norm_btc(x, self.n_head, self.in_scale, self.in_bias)
         if self.d_model is not None:
             h = self.inconv(h)
         if self.positional_encoding:
-            if self.use_abs_rel_enc:
-                pe = (self.positional_encoder(batch_positions[..., 0])
-                      + self.positional_encoder_abs(batch_positions[..., 1]))
-            else:
-                bp = batch_positions if batch_positions.ndim == 2 else batch_positions[..., 0]
-                pe = self.positional_encoder(bp)
-            h = h + pe[:, None, None, :, :].astype(h.dtype)  # (B,1,1,T,d)
+            pe = self._pe(batch_positions)
+            h = h + pe[:, :, None, None, :].astype(h.dtype)  # (B,T,1,1,d)
         return h
 
     def _pe(self, batch_positions: jax.Array) -> jax.Array:
@@ -178,10 +201,11 @@ class LTAE(nn.Module):
 
     def _fused(self, x: jax.Array, batch_positions: jax.Array,
                pad_mask: jax.Array | None):
-        """Fused Pallas path (eval, nq=1); x: (B, H, W, T, C)."""
+        """Fused Pallas path (eval, nq=1); x: (B, T, H, W, C)."""
         from crop2seg_tpu.ops.ltae_pallas import (
             fold_batchnorm, ltae_fused_forward)
 
+        x = jnp.transpose(x, (0, 2, 3, 1, 4))  # kernel wants pixel rows
         b, hh, ww, t, c = x.shape
         pe = self._pe(batch_positions) if self.positional_encoding else \
             jnp.zeros((b, t, self.d_model or c), x.dtype)
@@ -213,8 +237,7 @@ class LTAE(nn.Module):
 
     def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
                  pad_mask: jax.Array | None = None, train: bool = False):
-        # (B, T, H, W, C) -> (B, H, W, T, C): attention is per pixel row.
-        x = jnp.transpose(x, (0, 2, 3, 1, 4))
+        # x stays (B, T, H, W, C): attention contracts T in place.
         if (self.use_pallas and not train and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
             return self._fused(x, batch_positions, pad_mask)
@@ -256,12 +279,12 @@ class LTAE4WTAE(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
                  pad_mask: jax.Array | None = None, train: bool = False):
-        x = jnp.transpose(x, (0, 2, 3, 1, 4))
+        # x stays (B, T, H, W, C) — see MaskedLightweightAttention.time_major
         in_scale = self.param("in_norm_scale", nn.initializers.ones,
                               (self.in_channels,), jnp.float32)
         in_bias = self.param("in_norm_bias", nn.initializers.zeros,
                              (self.in_channels,), jnp.float32)
-        h = _group_norm_over_time(x, self.n_head, in_scale, in_bias)
+        h = _group_norm_btc(x, self.n_head, in_scale, in_bias)
         d_model = self.d_model if self.d_model is not None else self.in_channels
         if self.d_model is not None:
             h = nn.Dense(self.d_model, dtype=self.dtype, name="inconv")(h)
@@ -284,10 +307,10 @@ class LTAE4WTAE(nn.Module):
             else:
                 bp = batch_positions if batch_positions.ndim == 2 else batch_positions[..., 0]
                 pe = pe_mod(bp)
-            h = h + pe[:, None, None, :, :].astype(h.dtype)
+            h = h + pe[:, :, None, None, :].astype(h.dtype)
         _, attn = MaskedLightweightAttention(
             n_head=self.n_head, d_k=self.d_k, num_queries=self.num_queries,
-            dtype=self.dtype, name="attention",
+            time_major=True, dtype=self.dtype, name="attention",
         )(h, pad_mask=pad_mask, train=train)
         if self.num_queries == 1:
             return attn[:, :, :, :, 0, :]
