@@ -315,3 +315,104 @@ def convert_wtae(sd, n_stages=4, use_doy=False, add_linear=False,
         if "batch_stats" in bc:
             stats["boundary_conv"] = {"conv": bc["batch_stats"]}
     return {"params": params, "batch_stats": stats}
+
+
+# --- recurrent + 3-D model converters --------------------------------------
+
+def _conv3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (O, I, kd, kh, kw) -> flax (kd, kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _conv_transpose3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose3d (I, O, kd, kh, kw) -> our forward DHWIO,
+    spatially flipped (see crop2seg_tpu.models.unet3d._deconv3d)."""
+    return np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1))
+
+
+def convert_convlstm_seg(sd):
+    """ConvLSTM_Seg (reference convlstm.py:207-236)."""
+    return {"params": {
+        "encoder": {"cell": {"conv": {"conv": _conv2d(
+            sd, "convlstm_encoder.cell_list.0.conv")}}},
+        "classifier": {"conv": _conv2d(sd, "classification_layer")},
+    }}
+
+
+def convert_bconvlstm_seg(sd):
+    """BConvLSTM_Seg (reference convlstm.py:239-287)."""
+    return {"params": {
+        "encoder": {
+            "forward": {"cell": {"conv": {"conv": _conv2d(
+                sd, "convlstm_forward.cell_list.0.conv")}}},
+            "backward": {"cell": {"conv": {"conv": _conv2d(
+                sd, "convlstm_backward.cell_list.0.conv")}}},
+        },
+        "classifier": {"conv": _conv2d(sd, "classification_layer")},
+    }}
+
+
+def convert_convgru_seg(sd):
+    """ConvGRU_Seg (reference convgru.py:199-226)."""
+    return {"params": {
+        "encoder": {"cell": {
+            "in_conv": {"conv": _conv2d(sd, "convgru_encoder.cell_list.0.in_conv")},
+            "out_conv": {"conv": _conv2d(sd, "convgru_encoder.cell_list.0.out_conv")},
+        }},
+        "classifier": {"conv": _conv2d(sd, "classification_layer")},
+    }}
+
+
+def convert_unet3d(sd):
+    """UNet3D (reference unet3d.py:52-112): Sequential index -> named map."""
+    params, stats = {}, {}
+
+    def conv3(name, prefix):
+        params[f"{name}_conv"] = {
+            "kernel": _conv3d_kernel(sd[f"{prefix}.weight"]),
+            "bias": sd[f"{prefix}.bias"]}
+
+    def bn(name, prefix):
+        params[f"{name}_bn"] = {"scale": sd[f"{prefix}.weight"],
+                                "bias": sd[f"{prefix}.bias"]}
+        stats[f"{name}_bn"] = {"mean": sd[f"{prefix}.running_mean"],
+                               "var": sd[f"{prefix}.running_var"]}
+
+    for tag, tprefix in (("en3", "en3"), ("en4", "en4"), ("dc4", "dc4"),
+                         ("dc3", "dc3")):
+        conv3(f"{tag}a", f"{tprefix}.0")
+        bn(f"{tag}a", f"{tprefix}.1")
+        conv3(f"{tag}b", f"{tprefix}.3")
+        bn(f"{tag}b", f"{tprefix}.4")
+    conv3("center_in", "center_in.0")
+    bn("center_in", "center_in.1")
+    conv3("center_mid", "center_out.0")
+    bn("center_mid", "center_out.1")
+    params["center_out_kernel"] = _conv_transpose3d_kernel(sd["center_out.3.weight"])
+    params["center_out_bias"] = sd["center_out.3.bias"]
+    params["trans3_kernel"] = _conv_transpose3d_kernel(sd["trans3.0.weight"])
+    params["trans3_bias"] = sd["trans3.0.bias"]
+    bn("trans3", "trans3.1")
+    params["final"] = {"kernel": _conv3d_kernel(sd["final.weight"]),
+                       "bias": sd["final.bias"]}
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_recunet(sd, n_stages=3):
+    """RecUNet temporal='lstm' (reference recunet.py:10-171)."""
+    params, stats = {}, {}
+    ic = convert_conv_layer(sd, "in_conv.conv", 2, "any")
+    params["in_conv"] = {"conv": ic["params"]}
+    if "batch_stats" in ic:
+        stats["in_conv"] = {"conv": ic["batch_stats"]}
+    for i in range(n_stages - 1):
+        _stitch(params, stats, f"down_{i}", convert_down_block(sd, f"down_blocks.{i}"))
+        _stitch(params, stats, f"up_{i}", convert_up_block(sd, f"up_blocks.{i}"))
+    params["temporal_encoder"] = {"cell": {"conv": {"conv": _conv2d(
+        sd, "temporal_encoder.cell_list.0.conv")}}}
+    params["out_convlstm"] = {"conv": _conv2d(sd, "out_convlstm")}
+    oc = convert_conv_layer(sd, "out_conv.conv", 2, "any")
+    params["out_conv"] = {"conv": oc["params"]}
+    if "batch_stats" in oc:
+        stats["out_conv"] = {"conv": oc["batch_stats"]}
+    return {"params": params, "batch_stats": stats}

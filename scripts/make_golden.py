@@ -224,3 +224,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+    recurrent_and_3d()
+
+
+def recurrent_and_3d():
+    """Golden fixtures for the recurrent + 3-D model families."""
+    import torch
+    from src.backbones.convlstm import ConvLSTM_Seg, BConvLSTM_Seg
+    from src.backbones.convgru import ConvGRU_Seg
+    from src.backbones.unet3d import UNet3D
+    from src.backbones.recunet import RecUNet
+
+    x, dates = make_inputs(b=2, t=6, h=16, w=16, c=10, pad_last=(0, 2), seed=50)
+
+    def randomize_bn(model):
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                              torch.nn.BatchNorm3d)):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    torch.manual_seed(60)
+    m = ConvLSTM_Seg(num_classes=5, input_size=(16, 16), input_dim=10,
+                     kernel_size=(3, 3), hidden_dim=12).eval()
+    with torch.no_grad():
+        y = m(x, batch_positions=dates)
+    save("convlstm_seg", x=x.numpy(), y=y.numpy(), sd=sd_np(m))
+
+    torch.manual_seed(61)
+    m = ConvGRU_Seg(num_classes=5, input_size=(16, 16), input_dim=10,
+                    kernel_size=(3, 3), hidden_dim=12).eval()
+    with torch.no_grad():
+        y = m(x, batch_positions=dates)
+    save("convgru_seg", x=x.numpy(), y=y.numpy(), sd=sd_np(m))
+
+    torch.manual_seed(62)
+    m = BConvLSTM_Seg(num_classes=5, input_size=(16, 16), input_dim=10,
+                      kernel_size=(3, 3), hidden_dim=12).eval()
+    with torch.no_grad():
+        y = m(x)
+    save("bconvlstm_seg", x=x.numpy(), y=y.numpy(), sd=sd_np(m))
+
+    torch.manual_seed(63)
+    m = UNet3D(in_channel=10, n_classes=5, feats=4, pad_value=0).eval()
+    randomize_bn(m)
+    with torch.no_grad():
+        y = m(x.clone(), batch_positions=dates)
+    save("unet3d", x=x.numpy(), y=y.numpy(), sd=sd_np(m))
+
+    torch.manual_seed(64)
+    m = RecUNet(input_dim=10, encoder_widths=[8, 8, 16],
+                decoder_widths=[4, 8, 16], out_conv=[8, 5], temporal="lstm",
+                input_size=16, encoder_norm="group", hidden_dim=12,
+                padding_mode="reflect", pad_value=0).eval()
+    randomize_bn(m)
+    with torch.no_grad():
+        y = m(x, batch_positions=dates)
+    save("recunet_lstm", x=x.numpy(), y=y.numpy(), sd=sd_np(m))
+
+
+if __name__ == "__main__" or True:
+    pass
