@@ -280,10 +280,13 @@ def convert_utae(sd, n_stages=4, use_doy=False, add_linear=False,
 
 
 def convert_timeunet(sd, n_stages=4, use_doy=False, add_linear=False,
-                     use_abs_rel_enc=False):
-    """TimeUNet_v1 state dict -> flax variables (reference timeunet.py:10-210)."""
-    # identical module inventory to UTAE minus aggregator (no params) and
-    # boundary head; layout of names matches our TimeUNet module.
+                     use_abs_rel_enc=False, **_):
+    """TimeUNet_v1 state dict -> flax variables (reference timeunet.py:10-210).
+
+    Identical module inventory to UTAE minus aggregator (no params) and
+    boundary head; layout of names matches our TimeUNet module. Extra kwargs
+    (e.g. add_boundary) are accepted-and-ignored so callers can pass one
+    config to any converter."""
     return convert_utae(sd, n_stages=n_stages, use_doy=use_doy,
                         add_linear=add_linear, use_abs_rel_enc=use_abs_rel_enc)
 

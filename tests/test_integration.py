@@ -16,7 +16,13 @@ def workspace(tmp_path_factory):
 
 
 def _run(args):
-    import train as train_cli
+    # load our repo-root train.py by explicit path: tests may have put
+    # /root/reference on sys.path, whose train.py would shadow ours
+    import importlib.util
+    path = os.path.join(os.path.dirname(__file__), "..", "train.py")
+    spec = importlib.util.spec_from_file_location("crop2seg_train_cli", path)
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
     cfg = train_cli.parse_config(args)
     return train_cli.main(cfg), cfg
 
@@ -44,3 +50,36 @@ def test_train_then_test_cli(workspace):
     assert np.isfinite(metrics2["test_loss"])
     # conf.json contract: model config restored from the run dir
     assert cfg2.d_model == 32 and list(cfg2.encoder_widths) == [8, 8, 16]
+
+
+def test_reference_torch_checkpoint_import(workspace, tmp_path):
+    """--test --weight_folder pointing at a reference-style model.pth.tar:
+    the CLI must import the torch weights (train.py contract at reference
+    :228-269) and produce per-pixel-faithful logits (golden converters are
+    unit-tested; this exercises the CLI wiring end-to-end)."""
+    import sys
+    import torch
+    sys.path.insert(0, "/root/reference")
+    from src.backbones.timeunet import TimeUNet_v1
+
+    torch.manual_seed(7)
+    ref = TimeUNet_v1(input_dim=10, encoder_widths=[8, 8, 16],
+                      decoder_widths=[4, 8, 16], out_conv=[8, 15],
+                      n_head=4, d_model=32, d_k=4, pad_value=0).eval()
+    wf = tmp_path / "torch_run"
+    (wf / "Fold_1").mkdir(parents=True)
+    torch.save({"state_dict": ref.state_dict(), "epoch": 3,
+                "best_mIoU": 0.5}, wf / "Fold_1" / "model.pth.tar")
+    conf = {"model": "timeunet", "input_dim": 10,
+            "encoder_widths": [8, 8, 16], "decoder_widths": [4, 8, 16],
+            "out_conv": [8, 15], "n_head": 4, "d_model": 32, "d_k": 4,
+            "num_classes": 15, "ignore_index": -1}
+    json.dump(conf, open(wf / "conf.json", "w"))
+
+    data = str(workspace / "data")
+    metrics, cfg = _run([
+        "--test", "--weight_folder", str(wf), "--dataset", "s2tsczcrops",
+        "--dataset_folder", data, "--batch_size", "4",
+        "--t_buckets", "[61]", "--res_dir", str(tmp_path / "out")])
+    assert np.isfinite(metrics["test_loss"])
+    assert cfg.model == "timeunet" and cfg.d_model == 32
