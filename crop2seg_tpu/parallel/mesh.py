@@ -81,3 +81,32 @@ def data_parallel_eval(step_fn, mesh: Mesh, axis: str = "data"):
         return jitted(state, batch)
 
     return wrapped
+
+
+def shard_batch_2d(batch: Dict[str, Any], mesh: Mesh,
+                   data_axis: str = "data", space_axis: str = "space"):
+    """Shard batch over (data, space): x (B, T, H, W, C) splits B across the
+    data axis and H across the space axis — GSPMD inserts halo exchanges for
+    the spatial convs and the attention needs no cross-device traffic
+    (per-pixel rows, SURVEY.md §5). y/pad_mask/dates shard accordingly."""
+    spec = {
+        "x": P(data_axis, None, space_axis),
+        "dates": P(data_axis),
+        "pad_mask": P(data_axis),
+        "y": P(data_axis, space_axis),
+    }
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, spec.get(k, P(data_axis))))
+        for k, v in batch.items()
+    }
+
+
+def data_space_parallel_step(step_fn, mesh: Mesh, donate_state: bool = True):
+    """Train-step wrapper for a 2-D (data, space) mesh."""
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+
+    def wrapped(state, batch, rng):
+        batch = shard_batch_2d(batch, mesh)
+        return jitted(state, batch, rng)
+
+    return wrapped
