@@ -107,3 +107,28 @@ def test_eval_with_homogenizer():
     _, metrics, _ = run_epoch(estep, state, [batch], cfg, mode="test",
                               homogenizer=perfect_homogenizer)
     assert metrics["test_accuracy"] == 100.0
+
+
+def test_bf16_train_step():
+    """bf16 compute path: one step runs finite with fp32 params."""
+    import jax.numpy as jnp
+    from crop2seg_tpu.models import UTAE
+    model = UTAE(input_dim=C, encoder_widths=(8, 8, 16),
+                 decoder_widths=(4, 8, 16), out_conv=(8, K), n_head=4,
+                 d_model=32, d_k=4, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, T, H, W, C))
+    dates = (jnp.arange(T) * 5.0)[None, :].repeat(B, 0)
+    mask = pad_mask_from_lengths(jnp.full((B,), T - 1), T)
+    y = jax.random.randint(jax.random.PRNGKey(1), (B, H, W), 0, K)
+    batch = {"x": x, "dates": dates, "pad_mask": mask, "y": y}
+    variables = model.init(jax.random.PRNGKey(2), x, dates, pad_mask=mask,
+                           train=False)
+    # params stay fp32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(variables["params"]))
+    cfg = StepConfig(num_classes=K)
+    state = create_train_state(model, variables, 1e-3)
+    step = jax.jit(make_train_step(model, cfg))
+    state, aux = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(aux["loss"]))
