@@ -198,8 +198,16 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
                            out["classes"], out["proba"], affine)
     segments, seg_class = polygonize(out["classes"])
     soft = soften_by_segments(out["proba"], segments)
+    # vector cache, like the reference's shapefile outputs (crop2seg.py:344-353)
+    from crop2seg_tpu.gis.vectorize import (
+        polygons_to_geojson, segments_to_polygons, write_shapefile)
+    feats = segments_to_polygons(segments, seg_class, affine)
+    write_shapefile(os.path.join(pred_dir, "prediction.shp"), feats)
+    polygons_to_geojson(feats, os.path.join(pred_dir, "prediction.geojson"),
+                        crs=meta[0].get("crs") if meta else None)
     result = {"proba": out["proba"], "classes": out["classes"],
-              "segments": segments, "soft": soft["raster"]}
+              "segments": segments, "soft": soft["raster"],
+              "polygons": feats}
     if lpis_parcels is not None:
         result["homogenized"] = homogenize_raster(out["classes"], lpis_parcels)
         np.save(os.path.join(pred_dir, "homogenized.npy"),

@@ -99,3 +99,49 @@ def test_cache_manager(tmp_path):
     assert cm.sizes()["prediction"] == 300
     cm.clear("prediction")
     assert cm.sizes()["prediction"] == 0
+
+
+def test_prediction_vector_cache(tmp_path):
+    """generate_prediction writes shapefile + geojson caches."""
+    # reuse the artifacts from the end-to-end test's structure, tiny version
+    import jax
+    import jax.numpy as jnp
+    from crop2seg_tpu.learning import checkpoint as ckpt
+    from crop2seg_tpu.learning.trainer import create_train_state
+    from crop2seg_tpu.models.factory import get_model
+
+    folder = str(tmp_path / "cell")
+    os.makedirs(folder + "/DATA_S2")
+    rng = np.random.default_rng(0)
+    t = 3
+    records = []
+    for i in range(100):
+        np.save(f"{folder}/DATA_S2/S2_{i}.npy",
+                rng.normal(500, 100, (t, 10, 128, 128)).astype(np.float32))
+        records.append({"ID_PATCH": i, "TILE": "T33UVR", "Status": "OK",
+                        "time-series_length": t, "crs": 32633, "set": "",
+                        "Fold": 1,
+                        "dates-S2": {str(j): 20190101 + j for j in range(t)},
+                        "affine": [10.0, 0.0, 500000.0, 0.0, -10.0, 5600000.0]})
+    json.dump(records, open(f"{folder}/metadata.json", "w"))
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir + "/Fold_1")
+    conf = {"model": "timeunet", "num_classes": 15, "input_dim": 10,
+            "encoder_widths": [4, 4, 8], "decoder_widths": [2, 4, 8],
+            "out_conv": [4, 15], "n_head": 2, "d_model": 16, "d_k": 2,
+            "ref_date": "2018-09-01"}
+    json.dump(conf, open(model_dir + "/conf.json", "w"))
+    json.dump({"Fold_1": {"mean": [500.0] * 10, "std": [100.0] * 10}},
+              open(model_dir + "/NORM_S2_patch.json", "w"))
+    model = get_model(conf)
+    x0 = jnp.zeros((1, t, 128, 128, 10))
+    v = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1, t)), train=False)
+    ckpt.save_state(model_dir + "/Fold_1",
+                    create_train_state(model, v, 1e-3), 0, 0.0)
+    cache = str(tmp_path / "cache")
+    result = generate_prediction(folder, model_dir, 2019, cache,
+                                 use_pallas=False, batch_size=50)
+    pred_dir = os.path.join(cache, "prediction")
+    assert os.path.exists(os.path.join(pred_dir, "prediction.shp"))
+    assert os.path.exists(os.path.join(pred_dir, "prediction.geojson"))
+    assert "polygons" in result
