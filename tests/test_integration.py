@@ -52,6 +52,32 @@ def test_train_then_test_cli(workspace):
     assert cfg2.d_model == 32 and list(cfg2.encoder_widths) == [8, 8, 16]
 
 
+def test_train_cli_data_parallel_mesh(workspace, tmp_path):
+    """--num_devices 8 on the virtual CPU mesh must reproduce the
+    single-device run exactly: same data order (same seed), GSPMD handles the
+    gradient/metric all-reduce, eval batches pad with ignore-labeled rows."""
+    import json as _json
+    from crop2seg_tpu.data import make_synthetic_dataset
+    data = str(tmp_path / "data16")
+    make_synthetic_dataset(data, n_patches=16, hw=16)
+    common = ["--dataset", "s2tsczcrops", "--dataset_folder", data,
+              "--encoder_widths", "[8,8,16]", "--decoder_widths", "[4,8,16]",
+              "--out_conv", "[8,15]", "--n_head", "4", "--d_model", "32",
+              "--batch_size", "8", "--t_buckets", "[61]", "--epochs", "1"]
+    m1, _ = _run(common + ["--res_dir", str(tmp_path / "single")])
+    m8, _ = _run(common + ["--res_dir", str(tmp_path / "mesh"),
+                           "--num_devices", "8", "--platform", "cpu"])
+    assert np.isfinite(m8["test_loss"])
+    # pre-update loss must match tightly; post-Adam metrics accumulate
+    # reduction-order fp noise through 1/(sqrt(v)+eps), so compare loosely
+    log1 = _json.load(open(tmp_path / "single" / "Fold_1" / "trainlog.json"))
+    log8 = _json.load(open(tmp_path / "mesh" / "Fold_1" / "trainlog.json"))
+    np.testing.assert_allclose(log8["1"]["train_loss"],
+                               log1["1"]["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(m8["test_loss"], m1["test_loss"], rtol=5e-3)
+    np.testing.assert_allclose(m8["test_IoU"], m1["test_IoU"], atol=0.05)
+
+
 def test_reference_torch_checkpoint_import(workspace, tmp_path):
     """--test --weight_folder pointing at a reference-style model.pth.tar:
     the CLI must import the torch weights (train.py contract at reference

@@ -85,7 +85,12 @@ parser.add_argument("--t_buckets", default="[32,48,61]", type=str,
 parser.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute dtype (params stay fp32)")
 parser.add_argument("--num_devices", default=None, type=int,
-                    help="restrict the data mesh to the first N devices")
+                    help="train data-parallel over a mesh of the first N "
+                         "devices (params replicated, batch sharded, GSPMD "
+                         "gradient all-reduce over ICI)")
+parser.add_argument("--platform", default=None, type=str,
+                    help="pin the JAX default device / mesh devices to this "
+                         "platform (e.g. 'cpu' for the virtual host mesh)")
 parser.add_argument("--synthetic_patches", default=12, type=int)
 parser.add_argument("--use_weighted_sampling", action="store_true",
                     help="weighted random sampling with replacement from the "
@@ -135,10 +140,30 @@ def build_datasets(config):
             mk("test"))
 
 
+BATCH_KEYS = ("x", "dates", "pad_mask", "y")
+
+
 def to_device_batch(batch):
     import jax.numpy as jnp
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if k in ("x", "dates", "pad_mask", "y")}
+    return {k: jnp.asarray(v) for k, v in batch.items() if k in BATCH_KEYS}
+
+
+def to_host_batch(batch, pad_to=None, ignore_label=None):
+    """Numpy batch (for mesh sharding via device_put), optionally padded to a
+    fixed leading dim so every eval batch shards evenly over the mesh.
+
+    Pad rows duplicate sample 0 (numerically benign) with targets set to the
+    ignore label: the weighted CE divides by sum(w[y]) and the IoU meter
+    zeroes the ignore row/col, so padding changes neither loss nor metrics.
+    """
+    out = {k: np.asarray(v) for k, v in batch.items() if k in BATCH_KEYS}
+    b = out["y"].shape[0]
+    if pad_to is not None and b < pad_to:
+        idx = np.concatenate([np.arange(b), np.zeros(pad_to - b, np.int64)])
+        out = {k: v[idx] for k, v in out.items()}
+        out["y"] = out["y"].copy()
+        out["y"][b:] = ignore_label
+    return out
 
 
 def main(config):
@@ -151,6 +176,10 @@ def main(config):
         make_train_step, run_epoch)
     from crop2seg_tpu.learning import checkpoint as ckpt
     from crop2seg_tpu.models.factory import get_model
+
+    if config.platform:
+        jax.config.update("jax_default_device",
+                          jax.devices(config.platform)[0])
 
     random.seed(config.rdm_seed)
     np.random.seed(config.rdm_seed)
@@ -242,8 +271,37 @@ def main(config):
         test_region="all")
     state = create_train_state(model, variables, config.lr)
 
-    train_step = jax.jit(make_train_step(model, step_cfg))
-    eval_step = jax.jit(make_eval_step(model, step_cfg))
+    # Data-parallel mesh (SURVEY.md §2.7 item 1; replaces the reference's
+    # single-device loop at /root/reference/train.py:447,480-544).
+    n_dev = config.num_devices or 1
+    mesh = None
+    if n_dev > 1:
+        from crop2seg_tpu.parallel import (
+            data_parallel_eval, data_parallel_step, make_mesh, replicate)
+        devices = jax.devices(config.platform) if config.platform \
+            else jax.devices()
+        if len(devices) < n_dev:
+            raise SystemExit(
+                f"--num_devices {n_dev} but only {len(devices)} "
+                f"{config.platform or 'default'} devices are visible")
+        if config.batch_size % n_dev:
+            raise SystemExit("--batch_size must be divisible by --num_devices")
+        mesh = make_mesh(devices[:n_dev])
+        logging.info("data-parallel mesh over %d %s devices", n_dev,
+                     mesh.devices.flat[0].platform)
+        state = replicate(state, mesh)
+        train_step = data_parallel_step(make_train_step(model, step_cfg), mesh,
+                                        donate_state=False)
+        eval_step = data_parallel_eval(make_eval_step(model, step_cfg), mesh)
+        # eval batches pad to a fixed B so they shard evenly
+        ignore_label = config.ignore_index % config.num_classes
+        make_train_batch = to_host_batch
+        make_eval_batch = lambda b: to_host_batch(
+            b, pad_to=config.batch_size, ignore_label=ignore_label)
+    else:
+        train_step = jax.jit(make_train_step(model, step_cfg))
+        eval_step = jax.jit(make_eval_step(model, step_cfg))
+        make_train_batch = make_eval_batch = to_device_batch
 
     trainlog = {}
     best_miou = 0.0
@@ -253,12 +311,12 @@ def main(config):
             rng, erng = jax.random.split(rng)
             state, train_metrics, _ = run_epoch(
                 train_step, state,
-                map(to_device_batch, train_loader), step_cfg, mode="train",
+                map(make_train_batch, train_loader), step_cfg, mode="train",
                 rng=erng, display_step=config.display_step,
                 log_fn=logging.info)
             if epoch % config.val_every == 0 and epoch > config.val_after:
                 _, val_metrics, _ = run_epoch(
-                    eval_step, state, map(to_device_batch, val_loader),
+                    eval_step, state, map(make_eval_batch, val_loader),
                     step_cfg, mode="val", log_fn=logging.info)
                 logging.info("Loss %.4f, Acc %.2f, IoU %.4f",
                              val_metrics["val_loss"],
@@ -283,9 +341,13 @@ def main(config):
         class_weights=tuple(weights), label_smoothing=config.label_smoothing,
         add_boundary_loss=config.add_boundary_loss,
         test_region=config.test_region)
-    test_step = jax.jit(make_eval_step(model, test_cfg))
+    if mesh is not None:
+        from crop2seg_tpu.parallel import data_parallel_eval
+        test_step = data_parallel_eval(make_eval_step(model, test_cfg), mesh)
+    else:
+        test_step = jax.jit(make_eval_step(model, test_cfg))
     _, test_metrics, cms = run_epoch(
-        test_step, state, map(to_device_batch, test_loader), test_cfg,
+        test_step, state, map(make_eval_batch, test_loader), test_cfg,
         mode="test", log_fn=logging.info)
     logging.info("test metrics: %s", test_metrics)
     ckpt.save_results(fold_dir, test_metrics, cms, region=config.test_region)
