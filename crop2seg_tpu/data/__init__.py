@@ -4,4 +4,5 @@ from crop2seg_tpu.data.s2tsczcrop import (
 from crop2seg_tpu.data.batcher import (BatchLoader, PrefetchLoader, collate,
                                        DEFAULT_T_BUCKETS)
 from crop2seg_tpu.data.transforms import Transform
-from crop2seg_tpu.data.synthetic import make_synthetic_dataset
+from crop2seg_tpu.data.synthetic import (make_synthetic_dataset,
+                                         make_synthetic_pastis)

@@ -51,17 +51,22 @@ def _load_array(folder: str, sub: str, name: str) -> np.ndarray:
     return np.load(path)
 
 
-def load_norm_values(path: str) -> Dict[str, np.ndarray]:
+def load_norm_values(path: str, folds=None) -> Dict[str, np.ndarray]:
     """Parse NORM_S2_patch.json (reference webapp/prediction.py:232-250):
     {'Fold_1': {'mean': [...], 'std': [...]}, ...} averaged over folds, or a
-    flat {'mean', 'std'}."""
+    flat {'mean', 'std'}.
+
+    ``folds``: restrict the average to these fold numbers — the PASTIS 5-fold
+    protocol normalizes with the statistics of the *training* folds only
+    (reference train.py:283-286)."""
     with open(path) as f:
         blob = json.load(f)
     if "mean" in blob:
         return {"mean": np.asarray(blob["mean"], np.float32),
                 "std": np.asarray(blob["std"], np.float32)}
-    means = [np.asarray(v["mean"], np.float32) for v in blob.values()]
-    stds = [np.asarray(v["std"], np.float32) for v in blob.values()]
+    keys = [f"Fold_{f}" for f in folds] if folds is not None else list(blob)
+    means = [np.asarray(blob[k]["mean"], np.float32) for k in keys]
+    stds = [np.asarray(blob[k]["std"], np.float32) for k in keys]
     return {"mean": np.stack(means).mean(0), "std": np.stack(stds).mean(0)}
 
 

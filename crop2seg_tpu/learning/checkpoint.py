@@ -52,6 +52,25 @@ def save_results(fold_dir: str, metrics: Dict, cms: Dict[str, np.ndarray],
         pickle.dump({k: np.asarray(v) for k, v in cms.items()}, f)
 
 
+def aggregate_fold_cms(res_dir: str, region: str = "all",
+                       key: str = "top1") -> np.ndarray:
+    """Sum the test confusion matrices across every finished Fold_k run dir
+    (reference learning/utils.py:492-515 aggregates the fold pickles)."""
+    import glob
+
+    cm = None
+    for p in sorted(glob.glob(os.path.join(res_dir, "Fold_*",
+                                           f"{region}_conf_mat.pkl"))):
+        with open(p, "rb") as f:
+            cms = pickle.load(f)
+        c = np.asarray(cms[key], np.float64)
+        cm = c if cm is None else cm + c
+    if cm is None:
+        raise FileNotFoundError(
+            f"no {region}_conf_mat.pkl under {res_dir}/Fold_*")
+    return cm
+
+
 def overall_performance(res_dir: str, cm: np.ndarray, region: str = "all",
                         prefix: str = "") -> None:
     """Aggregate metrics from a confusion matrix into overall/per_class JSONs

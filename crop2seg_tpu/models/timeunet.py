@@ -73,7 +73,8 @@ class TimeUNet(nn.Module):
             use_doy=use_doy, add_linear=self.add_linear,
             use_pallas=self.use_pallas, dtype=self.dtype,
             name="temporal_encoder",
-        )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train)
+        )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train,
+          need_attn=return_att)
 
         feature_maps = [out]
         for i in range(n_stages - 1):

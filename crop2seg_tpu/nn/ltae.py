@@ -200,13 +200,13 @@ class LTAE(nn.Module):
         return self.positional_encoder(bp)
 
     def _fused(self, x: jax.Array, batch_positions: jax.Array,
-               pad_mask: jax.Array | None):
-        """Fused Pallas path (eval, nq=1); x: (B, T, H, W, C)."""
+               pad_mask: jax.Array | None, need_attn: bool = True):
+        """Fused Pallas path (eval, nq=1); x: (B, T, H, W, C). The kernel
+        takes the time-major layout directly — no HBM transpose."""
         from crop2seg_tpu.ops.ltae_pallas import (
             fold_batchnorm, ltae_fused_forward)
 
-        x = jnp.transpose(x, (0, 2, 3, 1, 4))  # kernel wants pixel rows
-        b, hh, ww, t, c = x.shape
+        b, t, hh, ww, c = x.shape
         pe = self._pe(batch_positions) if self.positional_encoding else \
             jnp.zeros((b, t, self.d_model or c), x.dtype)
         wm = self.mlp_dense.variables["params"]["kernel"]
@@ -227,20 +227,24 @@ class LTAE(nn.Module):
         }
         if pad_mask is None:
             pad_mask = jnp.zeros((b, t), bool)
-        rows = x.reshape(b, hh * ww, t, c)
+        rows = x.reshape(b, t, hh * ww, c)
         out, attn = ltae_fused_forward(
-            rows, pe.astype(jnp.float32), pad_mask, params,
-            n_head=self.n_head, d_k=self.d_k,
-            row_block=min(16, hh * ww))
+            rows, pe, pad_mask, params,
+            n_head=self.n_head, d_k=self.d_k, need_attn=need_attn)
         return (out.reshape(b, hh, ww, -1),
-                attn.reshape(b, hh, ww, self.n_head, t))
+                None if attn is None
+                else attn.reshape(b, hh, ww, self.n_head, t))
 
     def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
-                 pad_mask: jax.Array | None = None, train: bool = False):
+                 pad_mask: jax.Array | None = None, train: bool = False,
+                 need_attn: bool = True):
         # x stays (B, T, H, W, C): attention contracts T in place.
+        # need_attn=False lets the fused kernel skip writing the attention
+        # masks (TimeUNet discards them; XLA DCEs the same work itself).
         if (self.use_pallas and not train and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
-            return self._fused(x, batch_positions, pad_mask)
+            return self._fused(x, batch_positions, pad_mask,
+                               need_attn=need_attn)
         h = self.embed(x, batch_positions)
         out, attn = self.attention(h, pad_mask=pad_mask, train=train)
 

@@ -7,10 +7,26 @@ The reference L-TAE hot path (/root/reference/src/backbones/tae.py:451-504,
     softmax attention -> head-grouped weighted sum -> MLP+BN+ReLU -> GroupNorm
 
 Run as separate XLA ops this materializes the projected sequence
-h (N, T, 256) — 4x the input — in HBM several times. The fused kernel keeps
-h in VMEM for a block of rows: HBM traffic becomes read x once + write
-out (N, 128) and attn (N, heads, T), a ~6x reduction for the bandwidth-bound
-TimeUNet full-resolution case (N = B*16384).
+h (N, T, 256) — 4x the input — in HBM and reads it back at least twice
+(key projection + attention values). The fused kernel keeps h in VMEM for a
+block of rows: HBM traffic becomes read x once + write out (N, d_out)
+[+ attn (N, heads, T) only when the caller consumes it], a ~10x reduction for
+the bandwidth-bound TimeUNet full-resolution case (N = B*16384).
+
+Design notes (v2 — the v1 kernel was correct but prototype-slow):
+- input is TIME-MAJOR (B, T, N, C), a free reshape of the model's natural
+  (B, T, H, W, C) layout, so no HBM transpose feeds the kernel;
+- the learnable query is contracted into the key projection offline:
+  scores = h @ U + c with U[:, g] = W_k[:, g*d_k:(g+1)*d_k] @ q[g] / sqrt(d_k)
+  — exact (linear algebra), removes the whole K tensor;
+- the in-GroupNorm affine is folded into W_in, eval BatchNorm into the MLP;
+- matmuls run in the input dtype (bf16 on the inference path) with fp32
+  accumulation on the MXU; GroupNorm statistics and the softmax are fp32;
+- one flat grid over row blocks of 64-128 (v1 used 16-row blocks in 8192
+  sequential steps); Pallas double-buffers the block DMAs automatically;
+- Mosaic cannot reshape/split the lane (last) axis, so grouped reductions
+  and broadcasts go through tiny 0/1 matrices on the MXU, and the softmax
+  runs with T on the lane axis.
 
 Scope: inference path (eval mode: dropout off, BatchNorm folded into the MLP
 matmul) with num_queries=1. Training keeps the XLA path (autodiff).
@@ -18,7 +34,7 @@ matmul) with num_queries=1. Training keeps the XLA path (autodiff).
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,91 +44,83 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, pe_ref, mask_ref,
-            in_scale_ref, in_bias_ref, win_ref, bin_ref, wk_ref, bk_ref,
-            q_ref, wm_ref, bm_ref, out_scale_ref, out_bias_ref,
-            out_ref, attn_ref, *, n_head: int, d_k: int, eps: float):
-    r, t, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+            win_ref, bin_ref, u_ref, cs_ref, wm_ref, bm_ref,
+            out_scale_ref, out_bias_ref,
+            out_ref, attn_ref, *, n_head: int, eps: float, exact: bool):
+    t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     d_model = win_ref.shape[1]
     d_out = wm_ref.shape[1]
-    d_v = d_model // n_head
+    g = n_head
+    c_g = c // g
+    cdt = jnp.float32 if exact else x_ref.dtype
 
-    c_g = c // n_head
-
-    def grouping(n_ch: int, g: int):
+    def grouping(n_ch: int, dt=jnp.float32):
         """0/1 matrix (n_ch, g): S[i, j] = 1 iff channel i is in head j.
-        Per-group sum = X @ S; per-group broadcast = V @ S.T. Mosaic cannot
-        shape-cast the lane dim, so grouped reductions go through the MXU."""
+        Per-group sum = X @ S; per-group broadcast = V @ S.T."""
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 1)
-        return (rows // (n_ch // g) == cols).astype(jnp.float32)
+        return (rows // (n_ch // g) == cols).astype(dt)
 
-    def mm(a, b, exact=True):
-        # fp32 MXU passes everywhere: grouped GroupNorm statistics flow
-        # through these matmuls and the downstream small-group norms amplify
-        # bf16 input rounding ~100x. The matmuls are tiny and the kernel is
-        # bandwidth/overhead bound, so exactness is nearly free.
+    def mm(a, b, out_dt=jnp.float32):
         precision = jax.lax.Precision.HIGHEST if exact else None
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+        return jnp.dot(a, b, preferred_element_type=out_dt,
                        precision=precision)
 
-    sg_c = grouping(c, n_head)          # (C, G)
-    sg_o = grouping(d_out, n_head)      # (d_out, G)
-    sg_k = grouping(n_head * d_k, n_head)   # (64, G)
-    sg_v = grouping(d_model, n_head)    # (d_model, G)
+    sg_c = grouping(c)
+    sg_o = grouping(d_out)
 
-    x = x_ref[0].astype(jnp.float32)                      # (R, T, C)
+    x = x_ref[0]                                           # (T, R, C)
+    xf = x.astype(jnp.float32)
     # --- GroupNorm over (T, C/G) per row (torch GroupNorm((N, C, T))) ------
     cnt = float(t * c_g)
-    mean = mm(jnp.sum(x, axis=1), sg_c) / cnt             # (R, G)
-    mean_big = mm(mean, sg_c.T)                           # (R, C)
-    d = x - mean_big[:, None, :]
-    var = mm(jnp.sum(jnp.square(d), axis=1), sg_c) / cnt  # (R, G)
-    inv_big = mm(jax.lax.rsqrt(var + eps), sg_c.T)        # (R, C)
-    xn = d * inv_big[:, None, :] * in_scale_ref[:][None, None, :] \
-        + in_bias_ref[:][None, None, :]
+    sum_t = jnp.sum(xf, axis=0)                            # (R, C)
+    sumsq_t = jnp.sum(xf * xf, axis=0)                     # (R, C)
+    mean = mm(sum_t, sg_c) / cnt                           # (R, G)
+    var = mm(sumsq_t, sg_c) / cnt - mean * mean
+    mean_big = mm(mean, sg_c.T)                            # (R, C)
+    inv_big = mm(jax.lax.rsqrt(var + eps), sg_c.T)         # (R, C)
+    xn = ((xf - mean_big[None]) * inv_big[None]).astype(cdt)
 
-    # --- 1x1 projection + positional encoding ------------------------------
-    h = mm(xn.reshape(r * t, c), win_ref[:]) + bin_ref[:][None, :]
-    h = (h.reshape(r, t, d_model) + pe_ref[0][None, :, :]).reshape(r * t, d_model)
+    # --- 1x1 projection (GN affine pre-folded) + positional encoding -------
+    h = mm(xn.reshape(t * r, c), win_ref[:].astype(cdt)) + bin_ref[:][None]
+    h = (h.reshape(t, r, d_model)
+         + pe_ref[0][:, None, :]).astype(cdt)              # (T, R, D)
+    h2 = h.reshape(t * r, d_model)
 
-    # --- keys + scores ------------------------------------------------------
-    k = mm(h, wk_ref[:]) + bk_ref[:][None, :]             # (R*T, 64)
-    # scores[n, g] = sum_d q[g, d] * k[n, g*d_k+d] / sqrt(d_k)
-    # q arrives pre-flattened (1, n_head*d_k), head-major
-    scores = mm(k * q_ref[:], sg_k) * (1.0 / np.sqrt(d_k))  # (R*T, G)
-    # Move T to the LANE axis before the softmax: reducing over the middle
-    # axis of (R, T, G) with tiny G makes Mosaic pad G to 128 lanes and blow
-    # scoped VMEM; over the last axis of (R*G, T) it is a native reduction.
-    scores = jnp.swapaxes(scores.reshape(r, t, n_head), 1, 2)  # (R, G, T)
-    scores = scores.reshape(r * n_head, t)
-    # pad mask: mask_ref (1, T) 1.0 at pads -> set to -1e6 (reference
-    # tae.py:829-831 uses masked_fill, not add)
+    # --- scores (query pre-contracted into U) + masked softmax over T ------
+    scores = mm(h2, u_ref[:].astype(cdt)) + cs_ref[:]      # (T*R, G) fp32
+    scores = scores.reshape(t, r, g)
+    scores = jnp.swapaxes(scores, 0, 1)                    # (R, T, G)
+    scores = jnp.swapaxes(scores, 1, 2).reshape(r * g, t)  # T on lanes
     scores = jnp.where(mask_ref[0][None, :] > 0.5, -1e6, scores)
     smax = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - smax)
-    attn = e / jnp.sum(e, axis=1, keepdims=True)          # (R*G, T)
+    attn = e / jnp.sum(e, axis=1, keepdims=True)           # (R*G, T) fp32
 
-    # --- head-grouped weighted sum over T ----------------------------------
+    # --- head-grouped weighted sum over T -----------------------------------
     # broadcast each head's weight over its d_v channels via S.T, then sum T.
-    attn_rtg = jnp.swapaxes(attn.reshape(r, n_head, t), 1, 2)  # (R, T, G)
-    attn_big = mm(attn_rtg.reshape(r * t, n_head), sg_v.T)  # (R*T, d_model)
-    o = jnp.sum((attn_big * h).reshape(r, t, d_model), axis=1)  # (R, d_model)
+    a_rgt = attn.reshape(r, g, t)
+    a_trg = jnp.swapaxes(jnp.swapaxes(a_rgt, 1, 2), 0, 1)  # (T, R, G)
+    attn_big = mm(a_trg.reshape(t * r, g).astype(cdt),
+                  grouping(d_model, cdt).T, out_dt=cdt)    # (T*R, D)
+    o = jnp.sum((attn_big * h2).reshape(t, r, d_model).astype(jnp.float32),
+                axis=0)                                    # (R, D) fp32
 
     # --- MLP (BatchNorm pre-folded) + ReLU ----------------------------------
-    m = mm(o, wm_ref[:]) + bm_ref[:][None, :]
-    m = jnp.maximum(m, 0.0)
+    m = mm(o.astype(cdt), wm_ref[:].astype(cdt)) + bm_ref[:][None]
+    m = jnp.maximum(m, 0.0)                                # (R, d_out) fp32
 
     # --- out GroupNorm per row over channel groups --------------------------
-    o_g = d_out // n_head
-    omean_big = mm(mm(m, sg_o) / float(o_g), sg_o.T)      # (R, d_out)
-    dcen = m - omean_big
-    ovar = mm(jnp.square(dcen), sg_o) / float(o_g)        # (R, G)
-    oinv_big = mm(jax.lax.rsqrt(ovar + eps), sg_o.T)      # (R, d_out)
-    mn = dcen * oinv_big
-    out_ref[0] = (mn * out_scale_ref[:][None, :]
-                  + out_bias_ref[:][None, :]).astype(out_ref.dtype)
-    # attn is already in (R*G, T) = (R, G, T) layout
-    attn_ref[0] = attn.reshape(r, n_head, t).astype(attn_ref.dtype)
+    o_g = d_out // g
+    omean = mm(m, sg_o) / float(o_g)                       # (R, G)
+    ovar = mm(m * m, sg_o) / float(o_g) - omean * omean
+    omean_big = mm(omean, sg_o.T)
+    oinv_big = mm(jax.lax.rsqrt(ovar + eps), sg_o.T)
+    mn = (m - omean_big) * oinv_big
+    out_ref[0] = (mn * out_scale_ref[:][None]
+                  + out_bias_ref[:][None]).astype(out_ref.dtype)
+    if attn_ref is not None:
+        attn_ref[0] = a_rgt.astype(attn_ref.dtype)         # (R, G, T)
 
 
 def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
@@ -124,65 +132,86 @@ def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
 
 def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        params: Dict[str, jax.Array], *, n_head: int = 16,
-                       d_k: int = 4, row_block: int = 16,
-                       eps: float = 1e-5, interpret: bool | None = None):
+                       d_k: int = 4, row_block: int = 128,
+                       eps: float = 1e-5, need_attn: bool = True,
+                       exact: Optional[bool] = None,
+                       interpret: Optional[bool] = None):
     """Fused L-TAE forward.
 
-    x: (B, N, T, C) rows (N = H*W), pe: (B, T, d_model),
-    pad_mask: (B, T) bool. params keys: in_scale, in_bias, win (C, d),
-    bin, wk (d, n_head*d_k), bk, q (n_head, d_k), wm_folded (d, d_out),
-    bm_folded, out_scale, out_bias.
+    x: TIME-MAJOR (B, T, N, C) rows (N = H*W — a free reshape of the model's
+    (B, T, H, W, C)); pe: (B, T, d_model); pad_mask: (B, T) bool.
+    params keys (raw module parameters — folding happens here, in XLA):
+    in_scale, in_bias (C,), win (C, d), bin, wk (d, n_head*d_k), bk,
+    q (n_head, d_k), wm_folded (d, d_out), bm_folded, out_scale, out_bias.
 
-    Returns out (B, N, d_out), attn (B, N, n_head, T).
+    Returns (out (B, N, d_out), attn (B, N, n_head, T) or None).
+    exact=None: fp32 matmuls for fp32 inputs, native-dtype (bf16) matmuls
+    with fp32 accumulation otherwise.
     """
     if interpret is None:  # interpret off-TPU so the same code runs in tests
         dev = jax.config.jax_default_device or jax.devices()[0]
         interpret = getattr(dev, "platform", "cpu") not in ("tpu", "axon")
-    b, n, t, c = x.shape
+    if exact is None:
+        exact = x.dtype == jnp.float32
+    b, t, n, c = x.shape
     d_model = params["win"].shape[1]
     d_out = params["wm_folded"].shape[1]
     r = min(row_block, n)
-    assert n % r == 0, (n, r)
+    while n % r:
+        r //= 2
     grid = (b, n // r)
+
+    # --- offline folds (tiny XLA ops, fused into the enclosing jit) --------
+    # in-GroupNorm affine into W_in:  xn@W+b = xhat@(s*W) + (b + bias_c@W)
+    win = params["win"] * params["in_scale"][:, None]
+    bin_ = params["bin"] + params["in_bias"] @ params["win"]
+    # learnable query into the key projection (exact linear algebra):
+    # scores[n,g] = (h@Wk+bk)[n, g*dk:+dk] . q[g] / sqrt(dk) = (h@U + cs)[n,g]
+    wk = params["wk"].reshape(d_model, n_head, d_k)
+    u = jnp.einsum("dgk,gk->dg", wk, params["q"]) / np.sqrt(d_k)
+    cs = (jnp.einsum("gk,gk->g", params["bk"].reshape(n_head, d_k),
+                     params["q"]) / np.sqrt(d_k))[None, :]
 
     mask_f = pad_mask.astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, n_head=n_head, d_k=d_k, eps=eps)
+    kernel = functools.partial(_kernel, n_head=n_head, eps=eps, exact=exact)
 
     def vec(_=None):  # whole small tensor resident in VMEM
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    out, attn = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, t, r, c), lambda i, j: (i, 0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        vec(), vec(), vec(), vec(), vec(), vec(), vec(), vec(),
+    ]
+    out_specs = [pl.BlockSpec((1, r, d_out), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, n, d_out), x.dtype)]
+    if need_attn:
+        out_specs.append(pl.BlockSpec((1, r, n_head, t),
+                                      lambda i, j: (i, j, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, n, n_head, t), jnp.float32))
+    else:
+        kernel = functools.partial(kernel, attn_ref=None)
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, r, t, c), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            vec(None), vec(None), vec(None), vec(None), vec(None), vec(None),
-            vec(None), vec(None), vec(None), vec(None), vec(None),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, r, d_out), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, n_head, t), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, d_out), x.dtype),
-            jax.ShapeDtypeStruct((b, n, n_head, t), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(x, pe, mask_f,
-      params["in_scale"], params["in_bias"], params["win"], params["bin"],
-      params["wk"], params["bk"],
-      params["q"].reshape(1, n_head * d_k),  # flatten outside: Mosaic
-      params["wm_folded"],                   # rejects lane-dim reshapes
-      params["bm_folded"], params["out_scale"], params["out_bias"])
-    return out, attn
+    )(x, pe.astype(jnp.float32), mask_f,
+      win, bin_.astype(jnp.float32), u.astype(jnp.float32), cs,
+      params["wm_folded"], params["bm_folded"].astype(jnp.float32),
+      params["out_scale"], params["out_bias"])
+    if need_attn:
+        return res[0], res[1]
+    return res[0], None
 
 
 def params_from_ltae_variables(variables: Dict, n_head: int = 16) -> Dict:

@@ -78,6 +78,52 @@ def test_train_cli_data_parallel_mesh(workspace, tmp_path):
     np.testing.assert_allclose(m8["test_IoU"], m1["test_IoU"], atol=0.05)
 
 
+def test_pastis_five_fold_protocol(tmp_path):
+    """--dataset pastis with no --fold must run all 5 folds (reference
+    train.py:650-657) and merge the fold confusion matrices into the overall
+    JSONs (learning/utils.py:492-532)."""
+    import importlib.util
+    import json as _json
+    from crop2seg_tpu.data import make_synthetic_pastis
+
+    data = str(tmp_path / "pastis")
+    make_synthetic_pastis(data, n_patches=10, hw=16)
+    res = str(tmp_path / "run")
+    path = os.path.join(os.path.dirname(__file__), "..", "train.py")
+    spec = importlib.util.spec_from_file_location("crop2seg_train_cli", path)
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    cfg = cli.parse_config([
+        "--dataset", "pastis", "--dataset_folder", data,
+        "--encoder_widths", "[8,8,16]", "--decoder_widths", "[4,8,16]",
+        "--out_conv", "[8,20]", "--n_head", "4", "--d_model", "32",
+        "--num_classes", "20", "--batch_size", "2", "--t_buckets", "[14]",
+        "--epochs", "1", "--res_dir", res])
+    folds = cli.fold_sequence(cfg)
+    assert folds == [1, 2, 3, 4, 5]
+    for f in folds:
+        cfg.fold = f
+        cli.main(cfg)
+    for f in folds:
+        assert os.path.exists(os.path.join(res, f"Fold_{f}",
+                                           "all_test_metrics.json"))
+    overall = _json.load(open(os.path.join(res, "all_overall.json")))
+    # MACRO metrics are NaN when a class never occurs (tiny fixture; the
+    # reference's metrics.py:35-85 math behaves identically) — micro is solid
+    assert np.isfinite(overall["micro_IoU"]) and np.isfinite(overall["Accuracy"])
+    # the merged CM must cover every fold's test pixels: 2 patches x 16^2 each
+    from crop2seg_tpu.learning.checkpoint import aggregate_fold_cms
+    cm = aggregate_fold_cms(res)
+    assert int(cm.sum()) == 10 * 16 * 16
+
+    # fold splits must be disjoint: each fold's test set is 2 distinct patches
+    ds_tr, ds_val, ds_te = cli.build_datasets(cfg)
+    ids = ([s["id"] for s in map(ds_tr.__getitem__, range(len(ds_tr)))]
+           + [s["id"] for s in map(ds_val.__getitem__, range(len(ds_val)))]
+           + [s["id"] for s in map(ds_te.__getitem__, range(len(ds_te)))])
+    assert sorted(ids) == list(range(10))
+
+
 def test_reference_torch_checkpoint_import(workspace, tmp_path):
     """--test --weight_folder pointing at a reference-style model.pth.tar:
     the CLI must import the torch weights (train.py contract at reference

@@ -33,10 +33,10 @@ def test_fused_matches_xla_module():
     m, variables, x, dates, pad = _setup()
     out_ref, attn_ref = m.apply(variables, x, dates, pad_mask=pad, train=False)
 
-    # fused path: rows layout (B, H*W, T, C); PE from the module's embed
+    # fused path: time-major rows layout (B, T, H*W, C); PE from the module
     pe_mod = m.bind(variables)
     pe = pe_mod.positional_encoder(dates)                   # (B, T, d_model)
-    rows = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, H * W, T, C)
+    rows = x.reshape(B, T, H * W, C)
     params = params_from_ltae_variables(variables, n_head=N_HEAD)
     out, attn = ltae_fused_forward(rows, pe, pad, params, n_head=N_HEAD,
                                    d_k=D_K, row_block=32, interpret=True)
@@ -49,10 +49,25 @@ def test_fused_matches_xla_module():
                                rtol=1e-3, atol=5e-4)
 
 
+def test_fused_no_attn_matches():
+    """need_attn=False must produce the identical out tensor and no attn."""
+    m, variables, x, dates, pad = _setup()
+    pe = m.bind(variables).positional_encoder(dates)
+    rows = x.reshape(B, T, H * W, C)
+    params = params_from_ltae_variables(variables, n_head=N_HEAD)
+    out1, attn1 = ltae_fused_forward(rows, pe, pad, params, n_head=N_HEAD,
+                                     d_k=D_K, row_block=32, interpret=True)
+    out2, attn2 = ltae_fused_forward(rows, pe, pad, params, n_head=N_HEAD,
+                                     d_k=D_K, row_block=32, interpret=True,
+                                     need_attn=False)
+    assert attn1 is not None and attn2 is None
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
 def test_fused_pad_invariance():
     m, variables, x, dates, pad = _setup()
     pe = m.bind(variables).positional_encoder(dates)
-    rows = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, H * W, T, C)
+    rows = x.reshape(B, T, H * W, C)
     params = params_from_ltae_variables(variables, n_head=N_HEAD)
     out1, _ = ltae_fused_forward(rows, pe, pad, params, n_head=N_HEAD,
                                  d_k=D_K, row_block=32, interpret=True)

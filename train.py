@@ -109,6 +109,17 @@ def parse_config(argv=None):
     return config
 
 
+# PASTIS 5-fold cross-validation splits (reference train.py:208-214):
+# fold k trains on 3 folds, validates on 1, tests on 1.
+PASTIS_FOLD_SEQUENCE = (
+    ((1, 2, 3), (4,), (5,)),
+    ((2, 3, 4), (5,), (1,)),
+    ((3, 4, 5), (1,), (2,)),
+    ((4, 5, 1), (2,), (3,)),
+    ((5, 1, 2), (3,), (4,)),
+)
+
+
 def build_datasets(config):
     from crop2seg_tpu.data import (
         S2TSCZCropDataset, Transform, load_norm_values, make_synthetic_dataset)
@@ -120,22 +131,31 @@ def build_datasets(config):
             make_synthetic_dataset(folder, n_patches=config.synthetic_patches)
     norm_folder = config.norm_values_folder or folder
     norm_path = os.path.join(norm_folder, "NORM_S2_patch.json")
-    norm_values = load_norm_values(norm_path) if os.path.exists(norm_path) else None
 
     common = dict(
-        folder=folder, norm=norm_values is not None, norm_values=norm_values,
+        folder=folder,
         reference_date=config.ref_date, mono_date=config.mono_date,
         use_doy=config.use_doy, use_abs_rel_enc=config.use_abs_rel_enc,
         add_ndvi=config.add_ndvi, get_affine=config.get_affine,
         cache=config.cache, seed=config.rdm_seed,
     )
+    train_tr = Transform() if config.augment else None
     if config.dataset == "pastis":
         from crop2seg_tpu.data.pastis import PASTISDataset
-        mk = lambda st: PASTISDataset(set_type=st, folds=None, **common)
-    else:
-        mk = lambda st, tr=None, td=0.0: S2TSCZCropDataset(
-            set_type=st, transform=tr, temporal_dropout=td, **common)
-    train_tr = Transform() if config.augment else None
+        train_f, val_f, test_f = PASTIS_FOLD_SEQUENCE[(config.fold or 1) - 1]
+        # normalize with the training folds' statistics (ref train.py:283-286)
+        norm_values = load_norm_values(norm_path, folds=train_f) \
+            if os.path.exists(norm_path) else None
+        common.update(norm=norm_values is not None, norm_values=norm_values)
+        mk = lambda st, tr=None, td=0.0, fs=None: PASTISDataset(
+            set_type=st, folds=fs, transform=tr, temporal_dropout=td, **common)
+        return (mk("train", train_tr, config.temporal_dropout, train_f),
+                mk("val", fs=val_f), mk("test", fs=test_f))
+    norm_values = load_norm_values(norm_path) if os.path.exists(norm_path) \
+        else None
+    common.update(norm=norm_values is not None, norm_values=norm_values)
+    mk = lambda st, tr=None, td=0.0: S2TSCZCropDataset(
+        set_type=st, transform=tr, temporal_dropout=td, **common)
     return (mk("train", train_tr, config.temporal_dropout), mk("val"),
             mk("test"))
 
@@ -351,16 +371,29 @@ def main(config):
         mode="test", log_fn=logging.info)
     logging.info("test metrics: %s", test_metrics)
     ckpt.save_results(fold_dir, test_metrics, cms, region=config.test_region)
+    # aggregate over every Fold_k finished so far (reference
+    # learning/utils.py:492-532 sums the fold confusion-matrix pickles; after
+    # the last PASTIS fold this merges all 5)
+    cm = ckpt.aggregate_fold_cms(config.res_dir, region=config.test_region)
     ign = config.ignore_index % config.num_classes
-    cm = cms["top1"].astype(np.float64)
     cm[:, ign] = 0
     cm[ign, :] = 0
     ckpt.overall_performance(config.res_dir, cm, region=config.test_region)
     return test_metrics
 
 
+def fold_sequence(config):
+    """Reference train.py:650-657: PASTIS trains all 5 folds unless --fold
+    pins one; S2TSCzCrop/synthetic use classical splits (single fold)."""
+    if config.test or config.dataset != "pastis":
+        return [config.fold or 1]
+    return list(range(1, 6)) if config.fold is None else [config.fold]
+
+
 if __name__ == "__main__":
     cfg = parse_config()
     t0 = time.time()
-    main(cfg)
+    for _fold in fold_sequence(cfg):
+        cfg.fold = _fold
+        main(cfg)
     logging.info("total time: %.1fs", time.time() - t0)
