@@ -9,6 +9,10 @@ from crop2seg_tpu.nn.blocks3d import (
 from crop2seg_tpu.models.timeunet_v2 import TimeUNetV2
 from crop2seg_tpu.models.unet_ex import UNetEx
 from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
+import pytest
+
+
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
 
 B, T, H, W, C = 2, 6, 16, 16, 16
 

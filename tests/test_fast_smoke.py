@@ -1,0 +1,68 @@
+"""Fast model smoke tests — tiny shapes, seconds on one core.
+
+Keeps model/forward/train-step coverage inside the `-m "not slow"` CI
+subset (the golden-parity suites are minutes each and marked slow).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, T, H, W, C = 2, 5, 8, 8, 10
+K = 6
+
+_rng = np.random.default_rng(0)
+_x = jnp.asarray(_rng.standard_normal((B, T, H, W, C)), jnp.float32)
+_dates = jnp.asarray(
+    np.tile(np.arange(T, dtype=np.float32)[None] * 7 + 3, (B, 1)))
+_pad = jnp.asarray(np.array([[False] * T, [False] * (T - 2) + [True] * 2]))
+_x = jnp.where(_pad[:, :, None, None, None], 0.0, _x)
+
+_TINY = dict(input_dim=C, encoder_widths=(8, 8, 16), decoder_widths=(4, 8, 16),
+             out_conv=(8, K), n_head=4, d_model=32, d_k=4)
+
+
+def _run(model):
+    v = model.init(jax.random.PRNGKey(1), _x, _dates, pad_mask=_pad,
+                   train=False)
+    y = model.apply(v, _x, _dates, pad_mask=_pad, train=False)
+    return v, y
+
+
+def test_utae_forward_smoke():
+    from crop2seg_tpu.models import UTAE
+    _, y = _run(UTAE(**_TINY))
+    assert y.shape == (B, H, W, K) and bool(jnp.isfinite(y).all())
+
+
+def test_timeunet_forward_smoke():
+    from crop2seg_tpu.models import TimeUNet
+    _, y = _run(TimeUNet(**_TINY))
+    assert y.shape == (B, H, W, K) and bool(jnp.isfinite(y).all())
+
+
+def test_wtae_forward_smoke():
+    from crop2seg_tpu.models import WTAE
+    _, y = _run(WTAE(**_TINY))
+    assert y.shape == (B, H, W, K) and bool(jnp.isfinite(y).all())
+
+
+def test_train_step_smoke_and_remat_parity():
+    from crop2seg_tpu.learning import (
+        StepConfig, create_train_state, make_train_step)
+    from crop2seg_tpu.models import UTAE
+
+    batch = {"x": _x, "dates": _dates, "pad_mask": _pad,
+             "y": jnp.asarray(_rng.integers(0, K, (B, H, W)), jnp.int32)}
+    cfg = StepConfig(num_classes=K)
+    losses = []
+    for remat in (False, True):
+        m = UTAE(**_TINY, remat=remat)
+        v = m.init(jax.random.PRNGKey(1), _x, _dates, pad_mask=_pad,
+                   train=False)
+        state = create_train_state(m, v, 1e-3)
+        step = jax.jit(make_train_step(m, cfg))
+        state, aux = step(state, batch, jax.random.PRNGKey(3))
+        assert bool(jnp.isfinite(aux["loss"]))
+        losses.append(float(aux["loss"]))
+    # activation checkpointing must not change the math
+    assert abs(losses[0] - losses[1]) < 1e-6

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
@@ -155,3 +157,43 @@ def test_reference_torch_checkpoint_import(workspace, tmp_path):
         "--t_buckets", "[61]", "--res_dir", str(tmp_path / "out")])
     assert np.isfinite(metrics["test_loss"])
     assert cfg.model == "timeunet" and cfg.d_model == 32
+
+
+def test_finetune_and_resume_cli(workspace, tmp_path):
+    """--finetune loads shape-compatible pretrained weights under a NEW
+    config (different head) with a fresh optimizer; --weight_folder without
+    --finetune resumes from epoch+1 keeping the old conf.json
+    (reference train.py:245-270, 394-425 — the head swap the reference left
+    commented out is implemented for real here)."""
+    data = str(workspace / "data")
+    pre = str(tmp_path / "pretrain")
+    common = ["--dataset", "s2tsczcrops", "--dataset_folder", data,
+              "--encoder_widths", "[8,8,16]", "--decoder_widths", "[4,8,16]",
+              "--n_head", "4", "--d_model", "32", "--batch_size", "4",
+              "--t_buckets", "[61]"]
+    _run(common + ["--out_conv", "[8,15]", "--epochs", "1",
+                   "--res_dir", pre])
+
+    # fine-tune with a DIFFERENT number of classes: the out_conv head leaf
+    # mismatches and must stay freshly initialized; everything else loads.
+    # (20 classes: the PASTIS-head direction; labels 0..14 stay valid.)
+    ft = str(tmp_path / "finetune")
+    metrics, cfg = _run(common + ["--out_conv", "[8,20]",
+                                  "--num_classes", "20",
+                                  "--epochs", "1", "--finetune",
+                                  "--weight_folder", pre,
+                                  "--res_dir", ft])
+    assert np.isfinite(metrics["test_loss"])
+    assert cfg.num_classes == 20  # new CLI config won (no conf.json merge)
+
+    # resume: conf.json from the pretrain run wins, epoch continues past 1
+    rs = str(tmp_path / "resume")
+    metrics2, cfg2 = _run(["--dataset", "s2tsczcrops",
+                           "--dataset_folder", data, "--epochs", "2",
+                           "--weight_folder", pre, "--res_dir", rs,
+                           "--batch_size", "4"])
+    assert np.isfinite(metrics2["test_loss"])
+    assert cfg2.num_classes == 15 and cfg2.d_model == 32
+    log = json.load(open(os.path.join(rs, "Fold_1", "trainlog.json")))
+    assert "1" in log or 1 in log     # carried over from the pretrain run
+    assert "2" in log or 2 in log     # the resumed epoch

@@ -6,6 +6,9 @@ import numpy as np
 from crop2seg_tpu.nn.ltae import LTAE
 from crop2seg_tpu.ops.ltae_pallas import (
     ltae_fused_forward, params_from_ltae_variables)
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
 
 B, T, H, W, C = 2, 9, 8, 8, 32
 N_HEAD, D_K, D_MODEL, D_OUT = 8, 4, 64, 16

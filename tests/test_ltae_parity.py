@@ -12,8 +12,11 @@ from crop2seg_tpu.nn.aggregator import temporal_aggregate
 from crop2seg_tpu.nn.ltae import LTAE, LTAE4WTAE
 from crop2seg_tpu.nn.positional import AbsolutePositionalEncoder, PositionalEncoder
 from crop2seg_tpu.utils import torch_convert as tc
+import pytest
 from tests.parity_utils import (
     assert_close, attn_from_torch, from_nhwc, load_fixture, to_nhwc_seq)
+
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
 
 
 def test_positional_encoder():

@@ -7,6 +7,8 @@ import pytest
 from crop2seg_tpu.models.factory import get_model
 from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
 
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
+
 B, T, H, W, C, K = 2, 6, 16, 16, 10, 15
 
 

@@ -66,3 +66,94 @@ def test_tiling_roundtrip():
     from crop2seg_tpu.ops.patchify import patchify_grid
     p = np.asarray(patchify_grid(jnp.asarray(np.moveaxis(arr, 0, -1)), 4))
     np.testing.assert_array_equal(np.moveaxis(p, -1, 1), tiles)
+
+
+# --- GDAL-semantics cubic convolution upsample ------------------------------
+
+def _keys_direct(arr, factor, a=-0.5):
+    """Independent direct (slow) Keys cubic-convolution resample with the
+    GDAL center mapping — oracle for cubic_upsample."""
+    import numpy as np
+
+    def k(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    h, w = arr.shape
+    out = np.zeros((h * factor, w * factor))
+    for i in range(h * factor):
+        yi = (i + 0.5) / factor - 0.5
+        by = int(np.floor(yi))
+        for j in range(w * factor):
+            xj = (j + 0.5) / factor - 0.5
+            bx = int(np.floor(xj))
+            acc = 0.0
+            for dy in range(-1, 3):
+                for dx in range(-1, 3):
+                    sy = min(max(by + dy, 0), h - 1)
+                    sx = min(max(bx + dx, 0), w - 1)
+                    acc += arr[sy, sx] * k(yi - (by + dy)) * k(xj - (bx + dx))
+            out[i, j] = acc
+    return out
+
+
+def test_cubic_upsample_matches_direct_keys():
+    import numpy as np
+    from crop2seg_tpu.gis.raster_prep import cubic_upsample
+
+    rng = np.random.default_rng(3)
+    band = rng.uniform(0, 10000, (7, 9))
+    for factor in (2, 6):
+        fast = cubic_upsample(band, factor)
+        direct = _keys_direct(band, factor)
+        assert fast.shape == (7 * factor, 9 * factor)
+        np.testing.assert_allclose(fast, direct, rtol=1e-5, atol=1e-3)
+
+
+def test_cubic_upsample_preserves_constants_and_nearest_scl():
+    import numpy as np
+    from crop2seg_tpu.gis.raster_prep import (
+        cubic_upsample, nearest_upsample, upsample_to_10m)
+
+    const = np.full((5, 5), 842.0)
+    np.testing.assert_allclose(cubic_upsample(const, 2), 842.0, rtol=1e-6)
+
+    scl = np.arange(9).reshape(3, 3)
+    up = nearest_upsample(scl, 2)
+    assert up.shape == (6, 6)
+    assert (up[0:2, 0:2] == 0).all() and (up[4:6, 4:6] == 8).all()
+    # dispatcher: categorical -> nearest (exact integers preserved)
+    assert upsample_to_10m(scl, 2, categorical=True).dtype == scl.dtype
+
+
+def test_raster_resample_and_reproject():
+    import numpy as np
+    from crop2seg_tpu.gis.raster import Affine
+    from crop2seg_tpu.gis.raster_prep import raster_reproject, raster_resample
+
+    affine = Affine.from_origin(460000.0, 5540000.0, 10.0, 10.0)
+    arr = np.arange(100, dtype=np.float64).reshape(10, 10)
+
+    up, a2 = raster_resample(arr, affine, 2.0, method="nearest")
+    assert up.shape == (20, 20) and abs(a2.a - 5.0) < 1e-9
+    assert up[0, 0] == arr[0, 0] and up[-1, -1] == arr[-1, -1]
+
+    bl, _ = raster_resample(arr, affine, 2.0, method="bilinear")
+    assert bl.shape == (20, 20)
+    # dst (9,9) center -> src (4.25, 4.25): bilinear of the 2x2 at (4,4)
+    exp = (arr[4, 4] * 0.75 * 0.75 + arr[4, 5] * 0.75 * 0.25
+           + arr[5, 4] * 0.25 * 0.75 + arr[5, 5] * 0.25 * 0.25)
+    assert abs(bl[9, 9] - exp) < 1e-9
+
+    # reproject UTM33N -> 5514 and back: content survives (nearest, 10 m)
+    rep, rep_affine = raster_reproject(arr, affine, 32633, 5514)
+    assert rep.shape[0] >= 10 and rep.shape[1] >= 10
+    assert set(np.unique(rep)).issubset(set(np.unique(arr)) | {0.0})
+    back, _ = raster_reproject(rep, rep_affine, 5514, 32633)
+    # the grids don't align exactly; check gross structure: values from the
+    # original populate the interior
+    assert np.isin(back[2:-2, 2:-2], arr).mean() > 0.95

@@ -8,6 +8,10 @@ from crop2seg_tpu.models.recunet import RecUNet
 from crop2seg_tpu.models.unet3d import UNet3D
 from crop2seg_tpu.utils import torch_convert as tc
 from tests.parity_utils import assert_close, from_nhwc, load_fixture, to_nhwc_seq
+import pytest
+
+
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
 
 
 def test_convlstm_seg_golden():

@@ -10,6 +10,10 @@ from crop2seg_tpu.models import UTAE
 from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
 from crop2seg_tpu.parallel import make_mesh, replicate, data_parallel_step
 from crop2seg_tpu.parallel.mesh import data_parallel_eval
+import pytest
+
+
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
 
 B, T, H, W, C, K = 8, 7, 16, 16, 10, 15
 

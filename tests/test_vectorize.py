@@ -85,3 +85,83 @@ def test_write_shapefile(tmp_path):
     dbf_raw = open(dbf, "rb").read()
     assert dbf_raw[0] == 0x03 and b"value" in dbf_raw
     assert b"4" in dbf_raw  # the record value
+
+
+# --- shapefile reader + polygon rasterizer ----------------------------------
+
+def test_read_shapefile_roundtrip(tmp_path):
+    """write_shapefile -> read_shapefile recovers rings and DBF values."""
+    from crop2seg_tpu.gis.vectorize import read_shapefile
+
+    classes = np.zeros((10, 10), np.int32)
+    classes[1:4, 1:5] = 7
+    classes[6:9, 3:8] = 2
+    segments, seg_class = polygonize(classes)
+    feats = segments_to_polygons(segments, seg_class)
+    shp, _, _ = write_shapefile(str(tmp_path / "t.shp"), feats)
+    back = read_shapefile(shp)
+    assert len(back) == len(feats)
+    assert sorted(f["value"] for f in back) == sorted(
+        f["value"] for f in feats)
+    for f in back:
+        assert f["rings"] and len(f["rings"][0]) >= 4
+
+
+def test_rasterize_polygons_roundtrip():
+    """polygonize -> segments_to_polygons -> rasterize reproduces the
+    class raster exactly (pixel-center containment)."""
+    from crop2seg_tpu.gis.vectorize import rasterize_polygons
+
+    classes = np.zeros((12, 12), np.int32)
+    classes[2:6, 2:7] = 3
+    classes[7:11, 5:9] = 9
+    classes[3:5, 3:5] = 0  # hole inside the first region
+    segments, seg_class = polygonize(classes)
+    feats = segments_to_polygons(segments, seg_class)
+    out = rasterize_polygons(feats, classes.shape)
+    np.testing.assert_array_equal(out, classes)
+
+
+def test_rasterize_lpis_to_homogenize_e2e(tmp_path):
+    """parcels (vector, 5514) -> raster parcel map (UTM grid) ->
+    homogenize_raster majority vote over a prediction (verdict item 9)."""
+    from crop2seg_tpu.gis.geo import rasterize_lpis, transform_coords
+    from crop2seg_tpu.gis.postprocess import homogenize_raster
+    from crop2seg_tpu.gis.raster import Affine
+    from crop2seg_tpu.gis.vectorize import write_shapefile
+
+    # a 20x20 UTM33N grid at 10 m somewhere in CZ
+    east0, north0 = 460000.0, 5540000.0
+    affine = Affine.from_origin(east0, north0, 10.0, 10.0)
+
+    # two rectangular parcels, defined in UTM then converted to 5514
+    def parcel(c0, r0, c1, r1, value):
+        corners_utm = [(east0 + c0 * 10, north0 - r0 * 10),
+                       (east0 + c1 * 10, north0 - r0 * 10),
+                       (east0 + c1 * 10, north0 - r1 * 10),
+                       (east0 + c0 * 10, north0 - r1 * 10)]
+        ring = []
+        for e, n in corners_utm:
+            x, y = transform_coords(e, n, 32633, 5514)
+            ring.append((float(x), float(y)))
+        return {"rings": [ring + ring[:1]], "value": value,
+                "segment": value}
+
+    feats = [parcel(2, 2, 8, 8, 1), parcel(10, 10, 18, 16, 2)]
+    shp, _, _ = write_shapefile(str(tmp_path / "lpis.shp"), feats)
+
+    parcels = rasterize_lpis(shp, (20, 20), affine, src_epsg=5514,
+                             dst_epsg=32633)
+    # the 5514 roundtrip is metre-accurate -> parcel rectangles survive
+    assert parcels[5, 5] == 1 and parcels[12, 12] == 2 and parcels[0, 0] == 0
+    assert (parcels == 1).sum() >= 25 and (parcels == 2).sum() >= 30
+
+    pred = np.zeros((20, 20), np.int64)
+    pred[2:8, 2:8] = 4          # parcel 1 mostly class 4
+    pred[4, 4] = 9              # one dissenting pixel
+    pred[10:16, 10:18] = 6      # parcel 2 class 6
+    homog = homogenize_raster(pred, parcels)
+    inside1 = parcels == 1
+    assert (homog[inside1] == 4).all()   # majority vote wins
+    inside2 = parcels == 2
+    assert (homog[inside2] == 6).all()

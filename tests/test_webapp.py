@@ -9,6 +9,8 @@ from crop2seg_tpu.webapp.pipeline import (
     CELL_PX, CacheManager, generate_prediction, get_info, mgrs_tile_origin,
     tile_cell_bounds)
 
+pytestmark = pytest.mark.slow  # full-model/golden tests: minutes on 1 core
+
 
 def test_cell_bounds_grid():
     origin = (500000.0, 5600000.0)
@@ -145,3 +147,37 @@ def test_prediction_vector_cache(tmp_path):
     assert os.path.exists(os.path.join(pred_dir, "prediction.shp"))
     assert os.path.exists(os.path.join(pred_dir, "prediction.geojson"))
     assert "polygons" in result
+
+
+def test_tile_origin_from_index(tmp_path):
+    """Authoritative S2 footprints: write a synthetic WGS84 index shapefile
+    (Name column like the real Sentinel-2-Shapefile-Index), read it back and
+    recover the tile's UTM upper-left corner to <=1 m (the reference rounds
+    to whole metres the same way, get_data.py:34)."""
+    import numpy as np
+    from crop2seg_tpu.gis.geo import utm_to_wgs84
+    from crop2seg_tpu.gis.vectorize import read_shapefile, write_shapefile
+    from crop2seg_tpu.webapp.pipeline import get_info, tile_origin_from_index
+
+    # true footprint of a fictional tile in zone 33: UL (399960, 5600040)
+    ulx, uly, size = 399960.0, 5600040.0, 109800.0
+    corners_utm = [(ulx, uly), (ulx + size, uly),
+                   (ulx + size, uly - size), (ulx, uly - size), (ulx, uly)]
+    ring = [utm_to_wgs84(e, n, 33) for e, n in corners_utm]
+    other = [utm_to_wgs84(e + 100000, n, 33) for e, n in corners_utm]
+    shp, _, _ = write_shapefile(
+        str(tmp_path / "index.shp"),
+        [{"rings": [ring], "value": 1, "Name": "33UVR"},
+         {"rings": [other], "value": 2, "Name": "33UWR"}],
+        extra_fields=[("Name", 16)])
+
+    feats = read_shapefile(shp)
+    assert [f["Name"].strip() for f in feats] == ["33UVR", "33UWR"]
+
+    ox, oy = tile_origin_from_index("T33UVR", shp)
+    assert abs(ox - ulx) <= 1.0 and abs(oy - uly) <= 1.0
+
+    info = get_info("T33UVR", 0, index_path=shp)
+    left, bottom, right, top = info["bounds"]
+    assert abs(left - ulx) <= 1.0 and abs(top - uly) <= 1.0
+    assert np.isclose(right - left, 10980.0)
