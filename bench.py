@@ -1,22 +1,26 @@
 #!/usr/bin/env python
-"""Headline benchmark: whole-tile-class inference throughput on one chip.
+"""Headline benchmark: the three BASELINE-named numbers on one chip.
 
-Measures TimeUNet_v1 (the reference's shipped inference model,
-/root/reference/src/webapp/prediction.py:201) forward throughput in
-S2 patches/sec/chip at the hardest shape (T=61, 10ch, 128x128), bf16 compute.
+1. whole-tile inference (BASELINE config #5, the webapp path at
+   /root/reference/src/webapp/prediction.py:310-332): 100 patches ->
+   batched forward -> softmax -> device stitch to 1098^2 -> argmax classes.
+   HEADLINE metric, in patches/sec/chip.
+2. raw forward throughput (TimeUNet_v1, T=61, 10ch, 128^2, bf16).
+3. train-step throughput (fwd+bwd+Adam+metrics, bf16 + remat, B=16).
 
 Methodology notes for this environment:
 - the axon relay executes lazily (block_until_ready is a no-op) and adds
-  ~31 ms round-trip latency per host fetch; the benchmark therefore runs
-  N_CHUNKS forward passes inside ONE jitted lax.scan over distinct inputs
-  and fetches all N argmax maps with a single round trip.
+  ~31 ms round-trip latency per host fetch; each measurement therefore runs
+  many steps inside ONE jitted program (lax.scan / chained donated steps)
+  and fetches a real output array once per timed round.
 - vs_baseline is the ratio against the reference implementation measured on
   this host: PyTorch CPU TimeUNet_v1, batch 1, T=61 -> 57.3 s/patch
   (0.01745 patches/sec, single thread — the webapp inference path at
   prediction.py:310-323 runs batch-1 CPU/single-GPU; no GPU exists here and
   the repo publishes no latency numbers: README.md benchmark section is TODO).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+secondary numbers as extra keys.
 """
 import json
 import time
@@ -27,26 +31,39 @@ import numpy as np
 
 REFERENCE_PATCHES_PER_SEC = 0.01745  # torch CPU, measured on this host
 
-B = 8          # patches per forward
+B = 8          # patches per forward (raw forward bench)
 N_CHUNKS = 6   # forwards per timed round trip
 T = 61         # max S2TSCzCrop series length
 H = W = 128
 C = 10
+K_CLASSES = 15
 WARMUP = 2
 ROUNDS = 4
+TRAIN_B = 16
+TRAIN_STEPS = 4
 
 
-def main():
+def _model(remat=False):
     from crop2seg_tpu.models import TimeUNet
-    from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
+    return TimeUNet(input_dim=C, out_conv=(32, K_CLASSES),
+                    dtype=jnp.bfloat16, remat=remat)
 
-    model = TimeUNet(input_dim=C, out_conv=(32, 15), dtype=jnp.bfloat16)
-    xs = jax.random.normal(jax.random.PRNGKey(0),
-                           (N_CHUNKS, B, T, H, W, C), jnp.bfloat16)
-    dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :], (B, 1))
+
+def _inputs(model):
+    from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
+    dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
+                     (B, 1))
     pad_mask = pad_mask_from_lengths(jnp.full((B,), T), T)
-    variables = model.init(jax.random.PRNGKey(1), xs[0], dates,
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, W, C),
+                           jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(1), x0, dates,
                            pad_mask=pad_mask, train=False)
+    return variables, dates, pad_mask
+
+
+def bench_forward(model, variables, dates, pad_mask):
+    xs = jax.random.normal(jax.random.PRNGKey(2),
+                           (N_CHUNKS, B, T, H, W, C), jnp.bfloat16)
 
     @jax.jit
     def fwd_many(v, xs):
@@ -59,18 +76,107 @@ def main():
 
     for _ in range(WARMUP):
         np.asarray(fwd_many(variables, xs))
-
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
         np.asarray(fwd_many(variables, xs))
     dt = time.perf_counter() - t0
+    return ROUNDS * N_CHUNKS * B / dt
 
-    patches_per_sec = ROUNDS * N_CHUNKS * B / dt
+
+def bench_whole_tile(model, variables, dates, pad_mask):
+    """BASELINE config #5: 100 patches -> forward -> softmax -> stitch."""
+    from crop2seg_tpu.ops.patchify import stitch_inference_tile
+
+    patches = jax.random.normal(jax.random.PRNGKey(3),
+                                (100, T, H, W, C), jnp.bfloat16)
+
+    @jax.jit
+    def tile_infer(v, patches):
+        def body(_, xb):
+            logits = model.apply(v, xb, dates, pad_mask=pad_mask, train=False)
+            return None, jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        # pad 100 -> next multiple of B, scan over B-sized chunks
+        pad_n = (-100) % B
+        if pad_n:
+            patches = jnp.concatenate(
+                [patches, jnp.zeros((pad_n,) + patches.shape[1:],
+                                    patches.dtype)])
+        _, probs = jax.lax.scan(body, None,
+                                patches.reshape(-1, B, T, H, W, C))
+        probs = probs.reshape(-1, H, W, K_CLASSES)[:100]
+        tile = stitch_inference_tile(probs)
+        return jnp.argmax(tile, axis=-1).astype(jnp.uint8)
+
+    for _ in range(WARMUP):
+        np.asarray(tile_infer(variables, patches))
+    t0 = time.perf_counter()
+    for _ in range(ROUNDS):
+        np.asarray(tile_infer(variables, patches))
+    dt = time.perf_counter() - t0
+    return ROUNDS * 100 / dt
+
+
+def bench_train_step():
+    """Fused train step (fwd+bwd+Adam+CM metrics) at B=16 bf16 + remat."""
+    from crop2seg_tpu.learning import (
+        StepConfig, create_train_state, make_train_step)
+    from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
+
+    model = _model(remat=True)
+    dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
+                     (TRAIN_B, 1))
+    pad_mask = pad_mask_from_lengths(jnp.full((TRAIN_B,), T), T)
+    x = jax.random.normal(jax.random.PRNGKey(4), (TRAIN_B, T, H, W, C),
+                          jnp.bfloat16)
+    y = jax.random.randint(jax.random.PRNGKey(5), (TRAIN_B, H, W), 0,
+                           K_CLASSES)
+    batch = {"x": x, "dates": dates, "pad_mask": pad_mask, "y": y}
+    variables = model.init(jax.random.PRNGKey(6), x, dates,
+                           pad_mask=pad_mask, train=False)
+    cfg = StepConfig(num_classes=K_CLASSES,
+                     class_weights=tuple([0.0] + [1.0] * 13 + [0.0]),
+                     label_smoothing=0.1)
+    state = create_train_state(model, variables, 1e-3)
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
+
+    def run_steps(state, key):
+        cm = None
+        for i in range(TRAIN_STEPS):
+            state, aux = step(state, batch, jax.random.fold_in(key, i))
+            cm = aux["cm"]
+        # one fetch forces the whole chain (relay executes lazily)
+        cm_host = np.asarray(cm)
+        assert cm_host.sum() == TRAIN_B * H * W
+        return state
+
+    state = run_steps(state, jax.random.PRNGKey(7))  # compile + warm
+    t0 = time.perf_counter()
+    for r in range(ROUNDS):
+        state = run_steps(state, jax.random.PRNGKey(8 + r))
+    dt = time.perf_counter() - t0
+    return ROUNDS * TRAIN_STEPS / dt
+
+
+def main():
+    model = _model()
+    variables, dates, pad_mask = _inputs(model)
+
+    tile_pps = bench_whole_tile(model, variables, dates, pad_mask)
+    fwd_pps = bench_forward(model, variables, dates, pad_mask)
+    train_sps = bench_train_step()
+
     print(json.dumps({
-        "metric": "timeunet_v1 infer throughput (T=61, 10ch, 128^2, bf16)",
-        "value": round(patches_per_sec, 2),
+        "metric": ("whole-tile inference 100x128^2 patches->stitch 1098^2 "
+                   "(timeunet_v1, T=61, 10ch, bf16); extras: raw forward "
+                   "patches/s, train steps/s (B=16 bf16+remat)"),
+        "value": round(tile_pps, 2),
         "unit": "patches/sec/chip",
-        "vs_baseline": round(patches_per_sec / REFERENCE_PATCHES_PER_SEC, 1),
+        "vs_baseline": round(tile_pps / REFERENCE_PATCHES_PER_SEC, 1),
+        "forward_patches_per_sec": round(fwd_pps, 2),
+        "train_steps_per_sec": round(train_sps, 3),
+        "train_patches_per_sec": round(train_sps * TRAIN_B, 2),
+        "train_batch": TRAIN_B,
     }))
 
 

@@ -37,6 +37,7 @@ def get_model(config: Mapping[str, Any] | Any):
                     use_mbconv=cfg.get("use_mbconv", False),
                     add_boundary_loss=cfg.get("add_boundary_loss", False),
                     use_pallas=cfg.get("use_pallas", False),
+                    remat=cfg.get("remat", False),
                     **common)
     if name == "wtae":
         from crop2seg_tpu.models.wtae import WTAE
@@ -46,7 +47,8 @@ def get_model(config: Mapping[str, Any] | Any):
                     **common)
     if name in ("timeunet", "timeunet_v1"):
         from crop2seg_tpu.models.timeunet import TimeUNet
-        return TimeUNet(use_pallas=cfg.get("use_pallas", False), **common)
+        return TimeUNet(use_pallas=cfg.get("use_pallas", False),
+                        remat=cfg.get("remat", False), **common)
     if name == "timeunet_v2":
         from crop2seg_tpu.models.timeunet_v2 import TimeUNetV2
         common_v2 = {k: v for k, v in common.items()

@@ -46,6 +46,8 @@ class TimeUNet(nn.Module):
     use_doy: bool = False
     add_linear: bool = False
     use_pallas: bool = False
+    # Activation checkpointing of the conv blocks (see UTAE.remat).
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -58,11 +60,18 @@ class TimeUNet(nn.Module):
         if pad_mask is None:
             pad_mask = pad_mask_from_input(x, self.pad_value)
 
-        in_conv = ConvBlock(
+        conv_block, down_block, up_block = ConvBlock, DownConvBlock, UpConvBlock
+        if self.remat:
+            # static_argnums count ``self`` as 0; ``train`` is a Python bool.
+            conv_block = nn.remat(ConvBlock, static_argnums=(2,))
+            down_block = nn.remat(DownConvBlock, static_argnums=(2,))
+            up_block = nn.remat(UpConvBlock, static_argnums=(3,))
+
+        in_conv = conv_block(
             nkernels=(self.input_dim, enc_w[0], enc_w[0]), norm=self.encoder_norm,
             padding_mode=self.padding_mode, conv_type=self.conv_type,
             add_squeeze=self.add_squeeze_excit, dtype=self.dtype, name="in_conv")
-        out = temporally_shared(lambda f: in_conv(f, train=train), x,
+        out = temporally_shared(lambda f: in_conv(f, train), x,
                                 pad_mask, self.pad_value)
 
         # Temporal collapse at full 128^2 resolution (reference :169-184).
@@ -78,29 +87,29 @@ class TimeUNet(nn.Module):
 
         feature_maps = [out]
         for i in range(n_stages - 1):
-            out = DownConvBlock(
+            out = down_block(
                 d_out=enc_w[i + 1], k=self.str_conv_k, s=self.str_conv_s,
                 p=self.str_conv_p, norm=self.encoder_norm,
                 padding_mode=self.padding_mode, conv_type=self.conv_type,
                 add_squeeze=self.add_squeeze_excit, dtype=self.dtype,
-                name=f"down_{i}")(feature_maps[-1], train=train)
+                name=f"down_{i}")(feature_maps[-1], train)
             feature_maps.append(out)
 
         maps = [out]
         for i in range(n_stages - 1):
-            out = UpConvBlock(
+            out = up_block(
                 d_out=dec_w[-(i + 2)], k=self.str_conv_k, s=self.str_conv_s,
                 p=self.str_conv_p, norm="batch", padding_mode=self.padding_mode,
                 conv_type="2d", dtype=self.dtype, name=f"up_{i}",
-            )(out, feature_maps[-(i + 2)], train=train)
+            )(out, feature_maps[-(i + 2)], train)
             maps.append(out)
 
         if self.encoder:
             return out, maps
-        logits = ConvBlock(
+        logits = conv_block(
             nkernels=(dec_w[0],) + tuple(self.out_conv),
             padding_mode=self.padding_mode, conv_type="2d", dtype=self.dtype,
-            name="out_conv")(out, train=train)
+            name="out_conv")(out, train)
         if return_att:
             return logits, att
         if self.return_maps:

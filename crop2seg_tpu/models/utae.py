@@ -53,6 +53,10 @@ class UTAE(nn.Module):
     add_linear: bool = False
     add_boundary_loss: bool = False
     use_pallas: bool = False
+    # Activation checkpointing: recompute each conv block in the backward
+    # pass instead of storing its activations (trades ~1 extra forward of
+    # FLOPs for O(stages) less HBM -> enables B=16-32 bf16 training).
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -71,13 +75,19 @@ class UTAE(nn.Module):
         else:
             in_block, down_block, up_block, out_block = (
                 ConvBlock, DownConvBlock, UpConvBlock, ConvBlock)
+        if self.remat:
+            # static_argnums count ``self`` as 0; ``train`` is a Python bool.
+            in_block = nn.remat(in_block, static_argnums=(2,))
+            down_block = nn.remat(down_block, static_argnums=(2,))
+            out_block = nn.remat(out_block, static_argnums=(2,))
+            up_block = nn.remat(up_block, static_argnums=(3,))
 
         # --- shared spatial encoder over every frame -----------------------
         in_conv = in_block(
             nkernels=(self.input_dim, enc_w[0], enc_w[0]), norm=self.encoder_norm,
             padding_mode=self.padding_mode, conv_type=self.conv_type,
             add_squeeze=self.add_squeeze_excit, dtype=self.dtype, name="in_conv")
-        out = temporally_shared(lambda f: in_conv(f, train=train), x,
+        out = temporally_shared(lambda f: in_conv(f, train), x,
                                 pad_mask, self.pad_value)
         feature_maps = [out]
         for i in range(n_stages - 1):
@@ -87,7 +97,7 @@ class UTAE(nn.Module):
                 padding_mode=self.padding_mode, conv_type=self.conv_type,
                 add_squeeze=self.add_squeeze_excit, dtype=self.dtype,
                 name=f"down_{i}")
-            out = temporally_shared(lambda f, blk=blk: blk(f, train=train),
+            out = temporally_shared(lambda f, blk=blk: blk(f, train),
                                     feature_maps[-1], pad_mask, self.pad_value)
             feature_maps.append(out)
 
@@ -112,7 +122,7 @@ class UTAE(nn.Module):
                 d_out=dec_w[-(i + 2)], k=self.str_conv_k, s=self.str_conv_s,
                 p=self.str_conv_p, norm="batch", padding_mode=self.padding_mode,
                 conv_type="2d", dtype=self.dtype, name=f"up_{i}",
-            )(out, skip, train=train)
+            )(out, skip, train)
             maps.append(out)
 
         if self.encoder:
@@ -121,13 +131,13 @@ class UTAE(nn.Module):
         logits = out_block(
             nkernels=(dec_w[0],) + tuple(self.out_conv),
             padding_mode=self.padding_mode, conv_type="2d", dtype=self.dtype,
-            name="out_conv")(out, train=train)
+            name="out_conv")(out, train)
 
         if self.add_boundary_loss:
             boundary = out_block(
                 nkernels=(dec_w[0], 32, 2), padding_mode=self.padding_mode,
                 conv_type="2d", dtype=self.dtype, name="boundary_conv",
-            )(out, train=train)
+            )(out, train)
             if return_att:
                 return logits, boundary, att
             if self.return_maps:

@@ -84,6 +84,10 @@ parser.add_argument("--t_buckets", default="[32,48,61]", type=str,
                     help="fixed temporal pad buckets (one compile per bucket)")
 parser.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute dtype (params stay fp32)")
+parser.add_argument("--remat", action="store_true",
+                    help="activation checkpointing on the conv blocks "
+                         "(recompute in backward; enables batch 16-32 bf16 "
+                         "on one chip)")
 parser.add_argument("--num_devices", default=None, type=int,
                     help="train data-parallel over a mesh of the first N "
                          "devices (params replicated, batch sharded, GSPMD "
@@ -186,6 +190,33 @@ def to_host_batch(batch, pad_to=None, ignore_label=None):
     return out
 
 
+def merge_pretrained(fresh, loaded):
+    """Merge pretrained variables into a fresh init, keeping the fresh leaf
+    wherever the pretrained shape mismatches (head-swap fine-tuning).
+    Returns (variables, [skipped 'collection/path' strings])."""
+    import jax
+
+    skipped = []
+
+    def walk(dst, src, prefix):
+        out = {}
+        for k, v in dst.items():
+            if k not in src:
+                out[k] = v
+                skipped.append(f"{prefix}{k} (missing)")
+            elif isinstance(v, dict):
+                out[k] = walk(v, src[k], f"{prefix}{k}/")
+            elif jax.numpy.shape(src[k]) == jax.numpy.shape(v):
+                out[k] = src[k]
+            else:
+                out[k] = v
+                skipped.append(f"{prefix}{k}")
+        return out
+
+    merged = {c: walk(fresh[c], loaded.get(c, {}), f"{c}/") for c in fresh}
+    return merged, skipped
+
+
 def main(config):
     import jax
     import jax.numpy as jnp
@@ -209,8 +240,10 @@ def main(config):
     fold = config.fold or 1
     config.fold = fold
 
-    # resume/test: conf.json from weight_folder wins (reference :246-254)
-    if config.weight_folder:
+    # resume/test: conf.json from weight_folder wins (reference :246-254).
+    # Fine-tuning keeps the NEW CLI config (reference :245,270: the conf
+    # merge is skipped when finetuning) so the head/classes may change.
+    if config.weight_folder and not config.finetune:
         conf_path = os.path.join(config.weight_folder, "conf.json")
         if os.path.exists(conf_path):
             stored = ckpt.load_conf(config.weight_folder)
@@ -257,6 +290,7 @@ def main(config):
     variables = model.init(init_rng, sample["x"], sample["dates"],
                            pad_mask=sample["pad_mask"], train=False)
 
+    start_epoch, best_miou, trainlog = 1, 0.0, {}
     if config.weight_folder:
         torch_path = os.path.join(config.weight_folder, f"Fold_{fold}",
                                   "model.pth.tar")
@@ -265,12 +299,22 @@ def main(config):
         if os.path.exists(orbax_path):
             payload = ckpt.load_state(os.path.join(config.weight_folder,
                                                    f"Fold_{fold}"))
-            variables = {"params": payload["params"],
-                         "batch_stats": payload.get("batch_stats", {})}
+            loaded = {"params": payload["params"],
+                      "batch_stats": payload.get("batch_stats", {})}
             logging.info("restored orbax checkpoint (epoch %s, best %s)",
                          payload["meta"]["epoch"], payload["meta"]["best_mIoU"])
+            if not is_test_run and not config.finetune:
+                # resume: continue from the stored epoch + trainlog
+                # (reference train.py:255-269)
+                start_epoch = int(payload["meta"]["epoch"]) + 1
+                best_miou = float(payload["meta"]["best_mIoU"])
+                log_path = os.path.join(config.weight_folder, f"Fold_{fold}",
+                                        "trainlog.json")
+                if os.path.exists(log_path):
+                    trainlog = {int(k): v for k, v in
+                                json.load(open(log_path)).items()}
         elif os.path.exists(torch_path):
-            variables = ckpt.load_torch_checkpoint(
+            loaded = ckpt.load_torch_checkpoint(
                 torch_path, config.model,
                 n_stages=len(config.encoder_widths),
                 use_doy=config.use_doy, add_linear=config.add_linear,
@@ -279,6 +323,19 @@ def main(config):
             logging.info("imported reference torch checkpoint %s", torch_path)
         else:
             raise FileNotFoundError(f"no checkpoint under {config.weight_folder}")
+        if config.finetune:
+            # Fine-tune: fresh init + merge every shape-compatible pretrained
+            # leaf; mismatched leaves (e.g. the classifier head when
+            # num_classes changes, PASTIS 20 -> S2TSCzCrop 15) stay fresh.
+            # The reference intends this at train.py:394-425 (commented out);
+            # we implement it for real.
+            variables = apply_reference_init(variables, winit_rng)
+            variables, skipped = merge_pretrained(variables, loaded)
+            for path in skipped:
+                logging.info("finetune: keeping fresh init for %s "
+                             "(shape mismatch)", path)
+        else:
+            variables = loaded
     else:
         variables = apply_reference_init(variables, winit_rng)
 
@@ -323,10 +380,8 @@ def main(config):
         eval_step = jax.jit(make_eval_step(model, step_cfg))
         make_train_batch = make_eval_batch = to_device_batch
 
-    trainlog = {}
-    best_miou = 0.0
     if not is_test_run:
-        for epoch in range(1, config.epochs + 1):
+        for epoch in range(start_epoch, config.epochs + 1):
             logging.info("EPOCH %d/%d", epoch, config.epochs)
             rng, erng = jax.random.split(rng)
             state, train_metrics, _ = run_epoch(
@@ -350,10 +405,12 @@ def main(config):
             else:
                 trainlog[epoch] = dict(train_metrics)
                 ckpt.checkpoint_log(fold_dir, trainlog)
-        # reload best
-        payload = ckpt.load_state(fold_dir)
-        state = state.replace(params=payload["params"],
-                              batch_stats=payload.get("batch_stats", {}))
+        # reload best (if this run saved one; a resumed run that added no
+        # val-improving epoch keeps the restored weights)
+        if os.path.exists(os.path.join(fold_dir, "model.ckpt")):
+            payload = ckpt.load_state(fold_dir)
+            state = state.replace(params=payload["params"],
+                                  batch_stats=payload.get("batch_stats", {}))
 
     logging.info("TESTING BEST EPOCH (region=%s)...", config.test_region)
     test_cfg = StepConfig(
