@@ -22,7 +22,6 @@ import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-from scipy import ndimage
 
 # 10 m output band order (reference sentinel2raster.py:113-114).
 BAND_ORDER_10M = ("B04", "B03", "B02", "B08")
@@ -40,18 +39,62 @@ SCL_CODES = {
 SCL_CLOUD_SNOW = (3, 8, 9, 10, 11)
 
 
+def _keys_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic-convolution kernel (a=-0.5, what GDAL's Resampling.cubic
+    evaluates; NOT scipy's B-spline)."""
+    t = np.abs(t)
+    near = (a + 2.0) * t ** 3 - (a + 3.0) * t ** 2 + 1.0
+    far = a * t ** 3 - 5.0 * a * t ** 2 + 8.0 * a * t - 4.0 * a
+    return np.where(t <= 1.0, near, np.where(t < 2.0, far, 0.0))
+
+
+def _cubic_upsample_last_axis(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor cubic-convolution upsample of the last axis with
+    GDAL's pixel-center mapping src = (dst + 0.5)/factor - 0.5 and
+    edge-clamped taps."""
+    n = arr.shape[-1]
+    j = np.arange(n * factor)
+    x = (j + 0.5) / factor - 0.5
+    base = np.floor(x).astype(np.int64)
+    s = x - base
+    weights = np.stack([_keys_kernel(1.0 + s), _keys_kernel(s),
+                        _keys_kernel(1.0 - s), _keys_kernel(2.0 - s)])
+    idx = np.clip(base[None, :] + np.arange(-1, 3)[:, None], 0, n - 1)
+    out = np.zeros(arr.shape[:-1] + (n * factor,), np.float64)
+    for k in range(4):
+        out += arr[..., idx[k]] * weights[k]
+    return out
+
+
+def cubic_upsample(band: np.ndarray, factor: int) -> np.ndarray:
+    """GDAL-compatible (Keys a=-0.5) separable cubic-convolution upsample by
+    an integer factor — the resampling rasterio performs for the 20 m (x2)
+    and 60 m (x6) bands at /root/reference/src/helpers/sentinel2raster.py:
+    327-352 (``read(out_shape=..., resampling=Resampling.cubic)``)."""
+    out = _cubic_upsample_last_axis(np.asarray(band, np.float64), factor)
+    out = _cubic_upsample_last_axis(np.moveaxis(out, -2, -1), factor)
+    return np.moveaxis(out, -1, -2).astype(np.float32)
+
+
+def nearest_upsample(band: np.ndarray, factor: int) -> np.ndarray:
+    """Nearest-neighbour integer upsample with GDAL's center mapping (what
+    rasterio does for the SCL layer, sentinel2raster.py:356-368). For
+    integer factors this is an exact pixel replication."""
+    return np.repeat(np.repeat(band, factor, axis=-2), factor, axis=-1)
+
+
 def upsample_to_10m(band: np.ndarray, factor: int,
                     categorical: bool = False) -> np.ndarray:
     """Resample a 20 m (factor=2) or 60 m (factor=6) band to 10 m.
 
-    Continuous bands use cubic interpolation, categorical layers (SCL)
-    nearest neighbour (reference __2raster :308-414).
+    Continuous bands use GDAL-semantics cubic convolution, categorical
+    layers (SCL) nearest neighbour (reference __2raster :308-414).
     """
     if factor == 1:
         return band
-    order = 0 if categorical else 3
-    return ndimage.zoom(band, factor, order=order, grid_mode=True,
-                        mode="nearest")
+    if categorical:
+        return nearest_upsample(band, factor)
+    return cubic_upsample(band, factor)
 
 
 def stack_bands(bands: Dict[str, np.ndarray],
@@ -115,6 +158,101 @@ def cover_fractions(scl: np.ndarray) -> Dict[str, float]:
     nodata = float(np.count_nonzero(scl == 0)) / total
     cloud_snow = float(np.count_nonzero(np.isin(scl, SCL_CLOUD_SNOW))) / total
     return {"Nodata_Cover": nodata, "Snow_Cloud_Cover": cloud_snow}
+
+
+def raster_resample(arr: np.ndarray, affine, factor: float,
+                    method: str = "nearest"):
+    """Array-space counterpart of the reference's raster_resample
+    (/root/reference/src/helpers/sentinel2raster.py:417-460): factor > 1
+    upsamples; the affine is rescaled accordingly. Returns (array, affine).
+    """
+    from crop2seg_tpu.gis.raster import Affine
+
+    h, w = arr.shape[-2], arr.shape[-1]
+    out_h, out_w = int(h * factor), int(w * factor)
+    new_affine = Affine(affine.a * (w / out_w), affine.b, affine.c,
+                        affine.d, affine.e * (h / out_h), affine.f)
+    if factor == 1.0:
+        return arr, new_affine
+    rows = np.clip(((np.arange(out_h) + 0.5) * (h / out_h) - 0.5), 0, h - 1)
+    cols = np.clip(((np.arange(out_w) + 0.5) * (w / out_w) - 0.5), 0, w - 1)
+    if method == "nearest":
+        ri = np.round(rows).astype(np.int64)
+        ci = np.round(cols).astype(np.int64)
+        return arr[..., ri[:, None], ci[None, :]], new_affine
+    if method == "bilinear":
+        r0 = np.floor(rows).astype(np.int64)
+        c0 = np.floor(cols).astype(np.int64)
+        r1 = np.minimum(r0 + 1, h - 1)
+        c1 = np.minimum(c0 + 1, w - 1)
+        fr = (rows - r0)[:, None]
+        fc = (cols - c0)[None, :]
+        a00 = arr[..., r0[:, None], c0[None, :]]
+        a01 = arr[..., r0[:, None], c1[None, :]]
+        a10 = arr[..., r1[:, None], c0[None, :]]
+        a11 = arr[..., r1[:, None], c1[None, :]]
+        out = (a00 * (1 - fr) * (1 - fc) + a01 * (1 - fr) * fc
+               + a10 * fr * (1 - fc) + a11 * fr * fc)
+        return out, new_affine
+    raise ValueError(f"unknown method {method!r}")
+
+
+def raster_reproject(arr: np.ndarray, affine, src_epsg: int, dst_epsg: int,
+                     method: str = "nearest",
+                     resolution: Optional[float] = None,
+                     nodata: float = 0.0):
+    """Reproject a raster between the CRSs gis.geo supports — pure-python
+    counterpart of the reference's WarpedVRT-based raster_reproject
+    (/root/reference/src/helpers/sentinel2raster.py:463-502).
+
+    The destination grid keeps the source resolution (like the reference:
+    'we do not want change in resolution'); every destination pixel centre
+    is inverse-transformed into the source and sampled nearest/bilinear.
+    Returns (array (..., H', W'), dst Affine).
+    """
+    from crop2seg_tpu.gis.geo import transform_coords
+    from crop2seg_tpu.gis.raster import Affine
+
+    h, w = arr.shape[-2], arr.shape[-1]
+    # source corners -> dst CRS bounding box
+    corners_r = np.array([0.0, 0.0, h, h])
+    corners_c = np.array([0.0, w, 0.0, w])
+    cx, cy = affine.pixel_to_world(corners_r, corners_c)
+    dx, dy = transform_coords(cx, cy, src_epsg, dst_epsg)
+    res = abs(affine.a) if resolution is None else resolution
+    left, right = float(dx.min()), float(dx.max())
+    bottom, top = float(dy.min()), float(dy.max())
+    out_w = max(int(np.ceil((right - left) / res)), 1)
+    out_h = max(int(np.ceil((top - bottom) / res)), 1)
+    dst_affine = Affine.from_origin(left, top, res, res)
+
+    rr, cc = np.meshgrid(np.arange(out_h) + 0.5, np.arange(out_w) + 0.5,
+                         indexing="ij")
+    wx, wy = dst_affine.pixel_to_world(rr.ravel(), cc.ravel())
+    sx, sy = transform_coords(wx, wy, dst_epsg, src_epsg)
+    sr, sc = affine.world_to_pixel(sx, sy)
+    sr = np.asarray(sr).reshape(out_h, out_w) - 0.5
+    sc = np.asarray(sc).reshape(out_h, out_w) - 0.5
+    inside = (sr > -0.5) & (sr < h - 0.5) & (sc > -0.5) & (sc < w - 0.5)
+    if method == "nearest":
+        ri = np.clip(np.round(sr), 0, h - 1).astype(np.int64)
+        ci = np.clip(np.round(sc), 0, w - 1).astype(np.int64)
+        out = arr[..., ri, ci]
+    elif method == "bilinear":
+        r0 = np.clip(np.floor(sr), 0, h - 1).astype(np.int64)
+        c0 = np.clip(np.floor(sc), 0, w - 1).astype(np.int64)
+        r1 = np.minimum(r0 + 1, h - 1)
+        c1 = np.minimum(c0 + 1, w - 1)
+        fr = np.clip(sr - r0, 0, 1)
+        fc = np.clip(sc - c0, 0, 1)
+        out = (arr[..., r0, c0] * (1 - fr) * (1 - fc)
+               + arr[..., r0, c1] * (1 - fr) * fc
+               + arr[..., r1, c0] * fr * (1 - fc)
+               + arr[..., r1, c1] * fr * fc)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    out = np.where(inside, out, nodata)
+    return out, dst_affine
 
 
 def tile_coordinates(shape: Tuple[int, int], tile: int

@@ -93,11 +93,10 @@ def _mask_rings(mask: np.ndarray) -> List[Ring]:
 def _to_world(ring: Ring, affine: Optional[Affine]) -> Ring:
     if affine is None:
         return [(float(c), float(r)) for r, c in ring]  # (x=col, y=row)
-    out = []
-    for r, c in ring:
-        x, y = affine.pixel_to_world(r, c)
-        out.append((float(x), float(y)))
-    return out
+    rr = np.asarray([p[0] for p in ring], np.float64)
+    cc = np.asarray([p[1] for p in ring], np.float64)
+    xs, ys = affine.pixel_to_world(rr, cc)
+    return list(zip(np.asarray(xs).tolist(), np.asarray(ys).tolist()))
 
 
 def segments_to_polygons(segments: np.ndarray, seg_class: np.ndarray,
@@ -119,7 +118,12 @@ def segments_to_polygons(segments: np.ndarray, seg_class: np.ndarray,
             continue
         r0, c0 = box[0].start, box[1].start
         sub = segments[box] == seg_id
-        rings = _mask_rings(sub)
+        if sub.shape == (1, 1):
+            # fast path: single-pixel segment (dominant for noisy rasters);
+            # same orientation _mask_rings would trace.
+            rings = [[(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]]
+        else:
+            rings = _mask_rings(sub)
         rings = [[(r + r0, c + c0) for r, c in ring] for ring in rings]
         feats.append({
             "value": value, "segment": seg_id,
@@ -149,10 +153,137 @@ def polygons_to_geojson(features: List[Dict], path: Optional[str] = None,
     return out
 
 
-def write_shapefile(path: str, features: List[Dict]) -> Tuple[str, str, str]:
+def read_shapefile(path: str) -> List[Dict]:
+    """Minimal ESRI Shapefile reader: polygons (type 5), points (1) and
+    polylines (3), plus .dbf attributes (C/N/F fields). Dependency-free
+    counterpart of geopandas.read_file as used for LPIS parcels
+    (/root/reference/src/helpers/postprocess.py:398-404).
+
+    Returns a list of features: {'rings': [[(x, y), ...], ...]} for polygons
+    ('points' for the other types) merged with the record's DBF attributes.
+    """
+    base = os.path.splitext(path)[0]
+    feats: List[Dict] = []
+    with open(base + ".shp", "rb") as fh:
+        data = fh.read()
+    pos = 100  # skip file header
+    while pos < len(data):
+        (_, length) = struct.unpack(">2i", data[pos:pos + 8])
+        rec = data[pos + 8:pos + 8 + length * 2]
+        pos += 8 + length * 2
+        (shape_type,) = struct.unpack("<i", rec[:4])
+        if shape_type == 0:  # null shape
+            feats.append({"rings": []})
+        elif shape_type == 1:  # point
+            x, y = struct.unpack("<2d", rec[4:20])
+            feats.append({"points": [(x, y)]})
+        elif shape_type in (3, 5):  # polyline / polygon
+            n_parts, n_points = struct.unpack("<2i", rec[36:44])
+            parts = struct.unpack(f"<{n_parts}i", rec[44:44 + 4 * n_parts])
+            pts_off = 44 + 4 * n_parts
+            flat = struct.unpack(f"<{2 * n_points}d",
+                                 rec[pts_off:pts_off + 16 * n_points])
+            pts = list(zip(flat[0::2], flat[1::2]))
+            bounds = list(parts) + [n_points]
+            rings = [pts[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
+            feats.append({"rings": rings} if shape_type == 5
+                         else {"points": pts})
+        else:
+            raise ValueError(f"unsupported shape type {shape_type}")
+
+    dbf_path = base + ".dbf"
+    if os.path.exists(dbf_path):
+        with open(dbf_path, "rb") as fh:
+            dbf = fh.read()
+        n_rec, hdr_len, rec_len = struct.unpack("<IHH", dbf[4:12])
+        fields = []
+        p = 32
+        while dbf[p] != 0x0D:
+            name = dbf[p:p + 11].split(b"\x00")[0].decode("ascii",
+                                                          "replace")
+            ftype = chr(dbf[p + 11])
+            flen = dbf[p + 16]
+            fields.append((name, ftype, flen))
+            p += 32
+        p = hdr_len
+        for i in range(min(n_rec, len(feats))):
+            rec = dbf[p:p + rec_len]
+            p += rec_len
+            off = 1  # deletion flag
+            for name, ftype, flen in fields:
+                raw = rec[off:off + flen]
+                off += flen
+                txt = raw.decode("latin-1").strip()
+                if ftype in ("N", "F") and txt:
+                    feats[i][name] = float(txt) if ("." in txt or "e" in txt
+                                                    ) else int(txt)
+                else:
+                    feats[i][name] = txt
+    return feats
+
+
+def rasterize_polygons(features: Sequence[Dict], shape: Tuple[int, int],
+                       affine: Optional[Affine] = None,
+                       value_key: str = "value", fill: int = 0,
+                       dtype=np.int32) -> np.ndarray:
+    """Burn polygon features onto a raster grid — pure-python counterpart of
+    rasterio.features.rasterize as the reference uses it for LPIS parcels
+    (/root/reference/src/helpers/dataset_creator.py:687-723).
+
+    GDAL semantics: a pixel is burned when its CENTER is inside the polygon
+    (even-odd rule, holes supported); later features overwrite earlier ones.
+    """
+    out = np.full(shape, fill, dtype)
+    h, w = shape
+    for f in features:
+        rings = f.get("rings") or []
+        if not rings:
+            continue
+        value = f.get(value_key, 1)
+        # world -> pixel-coordinate edges
+        edges = []  # (r0, c0, r1, c1)
+        for ring in rings:
+            xs = np.asarray([p[0] for p in ring], np.float64)
+            ys = np.asarray([p[1] for p in ring], np.float64)
+            if affine is not None:
+                rr, cc = affine.world_to_pixel(xs, ys)
+            else:
+                rr, cc = ys, xs
+            if rr[0] != rr[-1] or cc[0] != cc[-1]:
+                rr = np.append(rr, rr[0])
+                cc = np.append(cc, cc[0])
+            edges.append((rr[:-1], cc[:-1], rr[1:], cc[1:]))
+        r0 = np.concatenate([e[0] for e in edges])
+        c0 = np.concatenate([e[1] for e in edges])
+        r1 = np.concatenate([e[2] for e in edges])
+        c1 = np.concatenate([e[3] for e in edges])
+        row_lo = max(int(np.floor(min(r0.min(), r1.min()))), 0)
+        row_hi = min(int(np.ceil(max(r0.max(), r1.max()))) + 1, h)
+        for row in range(row_lo, row_hi):
+            yc = row + 0.5  # pixel-center scanline
+            # half-open rule [min, max) avoids double-counting vertices
+            crosses = ((r0 <= yc) & (r1 > yc)) | ((r1 <= yc) & (r0 > yc))
+            if not crosses.any():
+                continue
+            tt = (yc - r0[crosses]) / (r1[crosses] - r0[crosses])
+            xs = np.sort(c0[crosses] + tt * (c1[crosses] - c0[crosses]))
+            for lo, hi in zip(xs[0::2], xs[1::2]):
+                a = max(int(np.ceil(lo - 0.5)), 0)
+                b = min(int(np.ceil(hi - 0.5)), w)
+                if b > a:
+                    out[row, a:b] = value
+    return out
+
+
+def write_shapefile(path: str, features: List[Dict],
+                    extra_fields: Sequence[Tuple[str, int]] = ()
+                    ) -> Tuple[str, str, str]:
     """Minimal ESRI Shapefile writer (polygon type 5) + .shx + .dbf with a
     numeric 'value' field. ESRI wants outer rings clockwise in (x, y);
-    rings from the tracer are reversed as needed by signed area."""
+    rings from the tracer are reversed as needed by signed area.
+
+    ``extra_fields``: [(name, width), ...] additional character (C) columns
+    copied from each feature dict (e.g. [("Name", 16)] for tile indexes)."""
     base = os.path.splitext(path)[0]
 
     def ring_oriented(ring, clockwise):
@@ -180,7 +311,9 @@ def write_shapefile(path: str, features: List[Dict]) -> Tuple[str, str, str]:
         content += struct.pack("<2i", len(rings), len(pts))
         content += b"".join(struct.pack("<i", p) for p in parts)
         content += b"".join(struct.pack("<2d", x, y) for x, y in pts)
-        records.append((content, bbox, f["value"]))
+        records.append((content, bbox, f["value"],
+                        [str(f.get(name, ""))[:width]
+                         for name, width in extra_fields]))
 
     if records:
         gxmin = min(r[1][0] for r in records)
@@ -190,14 +323,19 @@ def write_shapefile(path: str, features: List[Dict]) -> Tuple[str, str, str]:
     else:
         gxmin = gymin = gxmax = gymax = 0.0
 
-    shp_records = b""
-    shx_records = b""
+    # list-append + join: += on bytes is quadratic and a real shapefile can
+    # carry 1e5+ records (observed 80+ min for a noise-prediction export).
+    shp_parts = []
+    shx_parts = []
     offset = 50  # in 16-bit words
-    for i, (content, _, _) in enumerate(records):
+    for i, (content, _, _, _) in enumerate(records):
         length = len(content) // 2
-        shp_records += struct.pack(">2i", i + 1, length) + content
-        shx_records += struct.pack(">2i", offset, length)
+        shp_parts.append(struct.pack(">2i", i + 1, length))
+        shp_parts.append(content)
+        shx_parts.append(struct.pack(">2i", offset, length))
         offset += 4 + length
+    shp_records = b"".join(shp_parts)
+    shx_records = b"".join(shx_parts)
 
     def header(file_words):
         h = struct.pack(">i", 9994) + b"\x00" * 20
@@ -214,15 +352,24 @@ def write_shapefile(path: str, features: List[Dict]) -> Tuple[str, str, str]:
     with open(shx, "wb") as fh:
         fh.write(header(50 + len(shx_records) // 2) + shx_records)
 
-    # minimal dbf: one numeric field 'value'
+    # minimal dbf: one numeric field 'value' + optional character columns
     dbf = base + ".dbf"
     n = len(records)
-    field = b"value" + b"\x00" * 6 + b"N" + b"\x00" * 4 + bytes([10, 0]) + b"\x00" * 14
-    hdr = struct.pack("<B3BIHH", 0x03, 26, 8, 16, n, 33 + 32, 11) + b"\x00" * 20
-    body = hdr + field + b"\x0d"
-    for _, _, value in records:
-        body += b" " + str(int(value)).rjust(10).encode()
-    body += b"\x1a"
+    fields = b"value" + b"\x00" * 6 + b"N" + b"\x00" * 4 + bytes([10, 0]) + b"\x00" * 14
+    for name, width in extra_fields:
+        fields += (name.encode("ascii")[:11].ljust(11, b"\x00") + b"C"
+                   + b"\x00" * 4 + bytes([width, 0]) + b"\x00" * 14)
+    nf = 1 + len(extra_fields)
+    rec_len = 11 + sum(w for _, w in extra_fields)
+    hdr = struct.pack("<B3BIHH", 0x03, 26, 8, 16, n, 33 + 32 * nf,
+                      rec_len) + b"\x00" * 20
+    parts = [hdr, fields, b"\x0d"]
+    for _, _, value, extras in records:
+        parts.append(b" " + str(int(value)).rjust(10).encode())
+        for (name, width), text in zip(extra_fields, extras):
+            parts.append(text.encode("latin-1").ljust(width))
+    parts.append(b"\x1a")
+    body = b"".join(parts)
     with open(dbf, "wb") as fh:
         fh.write(body)
     return shp, shx, dbf

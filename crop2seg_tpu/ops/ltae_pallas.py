@@ -69,6 +69,7 @@ def _kernel(x_ref, pe_ref, mask_ref,
     sg_c = grouping(c)
     sg_o = grouping(d_out)
 
+    mask_row = mask_ref[0, 0]                              # (T,)
     x = x_ref[0]                                           # (T, R, C)
     xf = x.astype(jnp.float32)
     # --- GroupNorm over (T, C/G) per row (torch GroupNorm((N, C, T))) ------
@@ -92,7 +93,7 @@ def _kernel(x_ref, pe_ref, mask_ref,
     scores = scores.reshape(t, r, g)
     scores = jnp.swapaxes(scores, 0, 1)                    # (R, T, G)
     scores = jnp.swapaxes(scores, 1, 2).reshape(r * g, t)  # T on lanes
-    scores = jnp.where(mask_ref[0][None, :] > 0.5, -1e6, scores)
+    scores = jnp.where(mask_row[None, :] > 0.5, -1e6, scores)
     smax = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - smax)
     attn = e / jnp.sum(e, axis=1, keepdims=True)           # (R*G, T) fp32
@@ -101,8 +102,11 @@ def _kernel(x_ref, pe_ref, mask_ref,
     # broadcast each head's weight over its d_v channels via S.T, then sum T.
     a_rgt = attn.reshape(r, g, t)
     a_trg = jnp.swapaxes(jnp.swapaxes(a_rgt, 1, 2), 0, 1)  # (T, R, G)
+    # Mosaic requires 32-bit matmul accumulators; cast after. NOTE: a
+    # widening jnp.sum(bf16, dtype=fp32) crashes the Mosaic compiler on
+    # v5e, so the product is cast to fp32 explicitly before the reduce.
     attn_big = mm(a_trg.reshape(t * r, g).astype(cdt),
-                  grouping(d_model, cdt).T, out_dt=cdt)    # (T*R, D)
+                  grouping(d_model, cdt).T).astype(cdt)    # (T*R, D)
     o = jnp.sum((attn_big * h2).reshape(t, r, d_model).astype(jnp.float32),
                 axis=0)                                    # (R, D) fp32
 
@@ -156,7 +160,9 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     b, t, n, c = x.shape
     d_model = params["win"].shape[1]
     d_out = params["wm_folded"].shape[1]
-    r = min(row_block, n)
+    # fp32/exact keeps h + the weighted-sum product in fp32: a 64-row block
+    # already fills ~13 MB of the 16 MB scoped VMEM, so cap at 32.
+    r = min(row_block if not exact else min(row_block, 32), n)
     while n % r:
         r //= 2
     grid = (b, n // r)
@@ -172,7 +178,7 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     cs = (jnp.einsum("gk,gk->g", params["bk"].reshape(n_head, d_k),
                      params["q"]) / np.sqrt(d_k))[None, :]
 
-    mask_f = pad_mask.astype(jnp.float32)
+    mask_f = pad_mask.astype(jnp.float32)[:, None, :]      # (B, 1, T)
 
     kernel = functools.partial(_kernel, n_head=n_head, eps=eps, exact=exact)
 
@@ -184,7 +190,10 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        # (B, 1, T) so the block's trailing two dims (1, T) equal the array's
+        # (Mosaic requires trailing dims divisible by (8, 128) or full-size).
+        pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         vec(), vec(), vec(), vec(), vec(), vec(), vec(), vec(),
     ]
     out_specs = [pl.BlockSpec((1, r, d_out), lambda i, j: (i, j, 0),
