@@ -383,10 +383,18 @@ class MBConvLayer(nn.Module):
 
 
 class MBConvBlock(nn.Module):
-    """MBConv drop-in for ConvBlock (/root/reference/src/backbones/mbconv.py:132-152)."""
+    """MBConv drop-in for ConvBlock (/root/reference/src/backbones/mbconv.py:132-152).
+
+    ``padding_mode``/``conv_type``/``add_squeeze`` are accepted-and-ignored
+    exactly like the reference's ``*args, **kwargs`` (mbconv.py:139-144):
+    MBConv hard-codes reflect padding and always carries its own SE gate.
+    """
 
     nkernels: Sequence[int]
     norm: str = "group"
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
+    add_squeeze: bool = False
     dtype: Dtype | None = None
 
     @nn.compact
@@ -406,6 +414,7 @@ class MBDownConvBlock(nn.Module):
     norm: str = "batch"
     padding_mode: str = "reflect"
     conv_type: str = "2d"
+    add_squeeze: bool = False  # accepted-and-ignored (reference mbconv.py:169)
     dtype: Dtype | None = None
 
     @nn.compact
@@ -424,13 +433,16 @@ class MBDownConvBlock(nn.Module):
 
 
 class MBUpConvBlock(nn.Module):
-    """MBConv drop-in for UpConvBlock (/root/reference/src/backbones/mbconv.py:201-245)."""
+    """MBConv drop-in for UpConvBlock (/root/reference/src/backbones/mbconv.py:201-245).
+    ``padding_mode``/``conv_type`` accepted-and-ignored like the reference."""
 
     d_out: int
     k: int = 4
     s: int = 2
     p: int = 1
     norm: str = "batch"
+    padding_mode: str = "reflect"
+    conv_type: str = "2d"
     dtype: Dtype | None = None
 
     @nn.compact

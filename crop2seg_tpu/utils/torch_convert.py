@@ -253,26 +253,49 @@ def _stitch(dst_params, dst_stats, name, sub):
 
 
 def convert_utae(sd, n_stages=4, use_doy=False, add_linear=False,
-                 use_abs_rel_enc=False, add_boundary=False):
-    """Full UTAE state dict -> flax variables (reference utae.py:14-252)."""
+                 use_abs_rel_enc=False, add_boundary=False, use_mbconv=False):
+    """Full UTAE state dict -> flax variables (reference utae.py:14-252).
+    ``use_mbconv`` switches every conv block to the MBConv family
+    (reference utae.py:118-127)."""
     params, stats = {}, {}
-    _stitch(params, stats, "in_conv", convert_conv_layer(sd, "in_conv.conv", 2, "any"))
+    if use_mbconv:
+        # prefix is "<block>.conv"; MBConvBlock's MBConvLayer lives at the
+        # same path (units at "<block>.conv.conv.{j}"), and the caller adds
+        # the flax "conv" wrapper — so return the layer's flat dict here.
+        def conv2_block(prefix):
+            return convert_mbconv_layer(sd, prefix, 2)
+
+        def down_block(prefix):
+            return convert_mb_down_block(sd, prefix)
+
+        def up_block(prefix):
+            return convert_mb_up_block(sd, prefix)
+    else:
+        def conv2_block(prefix):
+            return convert_conv_layer(sd, prefix, 2, "any")
+
+        def down_block(prefix):
+            return convert_down_block(sd, prefix)
+
+        def up_block(prefix):
+            return convert_up_block(sd, prefix)
+
+    _stitch(params, stats, "in_conv", conv2_block("in_conv.conv"))
     params["in_conv"] = {"conv": params["in_conv"]}
     if "in_conv" in stats:
         stats["in_conv"] = {"conv": stats["in_conv"]}
     for i in range(n_stages - 1):
-        _stitch(params, stats, f"down_{i}", convert_down_block(sd, f"down_blocks.{i}"))
-        _stitch(params, stats, f"up_{i}",
-                convert_up_block(sd, f"up_blocks.{i}"))
+        _stitch(params, stats, f"down_{i}", down_block(f"down_blocks.{i}"))
+        _stitch(params, stats, f"up_{i}", up_block(f"up_blocks.{i}"))
     _stitch(params, stats, "temporal_encoder",
             convert_ltae(sd, "temporal_encoder", use_doy=use_doy,
                          add_linear=add_linear, use_abs_rel_enc=use_abs_rel_enc))
-    oc = convert_conv_layer(sd, "out_conv.conv", 2, "any")
+    oc = conv2_block("out_conv.conv")
     params["out_conv"] = {"conv": oc["params"]}
     if "batch_stats" in oc:
         stats["out_conv"] = {"conv": oc["batch_stats"]}
     if add_boundary:
-        bc = convert_conv_layer(sd, "boundary_conv.conv", 2, "any")
+        bc = conv2_block("boundary_conv.conv")
         params["boundary_conv"] = {"conv": bc["params"]}
         if "batch_stats" in bc:
             stats["boundary_conv"] = {"conv": bc["batch_stats"]}
@@ -317,6 +340,170 @@ def convert_wtae(sd, n_stages=4, use_doy=False, add_linear=False,
         params["boundary_conv"] = {"conv": bc["params"]}
         if "batch_stats" in bc:
             stats["boundary_conv"] = {"conv": bc["batch_stats"]}
+    return {"params": params, "batch_stats": stats}
+
+
+# --- MBConv family -----------------------------------------------------------
+
+def convert_mbconv(sd, prefix):
+    """Single MBConv unit (reference mbconv.py:25-96). The torch module is
+    Sequential(Sequential(residual(Sequential(...)))), so parameter keys live
+    under ``{prefix}.0.0`` — or ``{prefix}.0.0.block`` when in==out channels
+    (ResidualAdd). Inner Sequential indices: 0 expand 1x1, 1 norm, 3 depthwise
+    3x3, 4 norm, 6 SE, 7 project 1x1, 8 norm."""
+    # residual = ResidualAdd (in==out) nests under ".block"; otherwise the
+    # residual wrapper is a plain nn.Sequential adding one more ".0" level.
+    base = f"{prefix}.0.0"
+    base = base + (".block" if any(k.startswith(base + ".block.")
+                                   for k in sd) else ".0")
+    params: Dict[str, Any] = {
+        "expand": {"conv": _conv2d(sd, f"{base}.0")},
+        "depthwise": {"conv": {
+            "kernel": depthwise_kernel(sd[f"{base}.3.weight"]),
+            "bias": sd[f"{base}.3.bias"]}},
+        "project": {"conv": _conv2d(sd, f"{base}.7")},
+    }
+    stats: Dict[str, Any] = {}
+    for name, idx in (("norm0", 1), ("norm1", 4), ("norm2", 8)):
+        kp = f"{base}.{idx}"
+        if f"{kp}.running_mean" in sd:
+            p, st = _norm(sd, kp, "batch")
+            params[name], stats[name] = p, st
+        elif f"{kp}.weight" in sd:
+            params[name], _ = _norm(sd, kp, "group")
+    if f"{base}.6.sae.1.weight" in sd:
+        params["se"] = _se(sd, f"{base}.6")
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_mbconv_layer(sd, prefix, n_units):
+    """MBConvLayer: Sequential of MBConv at ``{prefix}.conv.{j}``
+    (reference mbconv.py:99-129)."""
+    params, stats = {}, {}
+    for j in range(n_units):
+        sub = convert_mbconv(sd, f"{prefix}.conv.{j}")
+        params[f"mbconv{j}"] = sub["params"]
+        if "batch_stats" in sub:
+            stats[f"mbconv{j}"] = sub["batch_stats"]
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_mbconv_block(sd, prefix, n_units):
+    """MBConvBlock: self.conv = MBConvLayer (reference mbconv.py:132-152)."""
+    sub = convert_mbconv_layer(sd, f"{prefix}.conv", n_units)
+    out = {"params": {"conv": sub["params"]}}
+    if "batch_stats" in sub:
+        out["batch_stats"] = {"conv": sub["batch_stats"]}
+    return out
+
+
+def convert_mb_down_block(sd, prefix):
+    """MBDownConvBlock (reference mbconv.py:155-198)."""
+    params, stats = {}, {}
+    sub = convert_conv_layer(sd, f"{prefix}.down", 1, "any")
+    params["down"] = sub["params"]
+    if "batch_stats" in sub:
+        stats["down"] = sub["batch_stats"]
+    for name in ("conv1", "conv2"):
+        s2 = convert_mbconv_layer(sd, f"{prefix}.{name}", 1)
+        params[name] = s2["params"]
+        if "batch_stats" in s2:
+            stats[name] = s2["batch_stats"]
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_mb_up_block(sd, prefix):
+    """MBUpConvBlock (reference mbconv.py:201-245)."""
+    params = {
+        "up_conv": {"kernel": conv_transpose2d_kernel(sd[f"{prefix}.up.0.weight"]),
+                    "bias": sd[f"{prefix}.up.0.bias"]},
+        "skip_conv": {"conv": _conv2d(sd, f"{prefix}.skip_conv.0")},
+    }
+    stats = {}
+    p, st = _norm(sd, f"{prefix}.up.1", "batch")
+    params["up_norm"], stats["up_norm"] = p, st
+    p, st = _norm(sd, f"{prefix}.skip_conv.1", "batch")
+    params["skip_norm"], stats["skip_norm"] = p, st
+    for name in ("conv1", "conv2"):
+        s2 = convert_mbconv_layer(sd, f"{prefix}.{name}", 1)
+        params[name] = s2["params"]
+        if "batch_stats" in s2:
+            stats[name] = s2["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_tae2d(sd, classical=True, n_stages=1, add_linear=False):
+    """TAE2d state dict -> flax variables (reference tae.py:15-346).
+    ``classical`` selects the MultiHeadAttention stages
+    (``attention_heads.{i}`` -> ``attention_{i}``); otherwise the single
+    lightweight head (``attention_heads.0`` -> ``attention``)."""
+    params: Dict[str, Any] = {
+        "in_norm_scale": sd["in_norm.weight"],
+        "in_norm_bias": sd["in_norm.bias"],
+        "out_norm_scale": sd["out_norm.weight"],
+        "out_norm_bias": sd["out_norm.bias"],
+        "mlp_dense": {"kernel": dense_kernel(sd["mlp.0.weight"]),
+                      "bias": sd["mlp.0.bias"]},
+    }
+    stats: Dict[str, Any] = {}
+    p, st = _norm(sd, "mlp.1", "batch")
+    params["mlp_bn"], stats["mlp_bn"] = p, st
+    if "inconv.weight" in sd:
+        params["inconv"] = {"kernel": conv1d1_kernel(sd["inconv.weight"]),
+                            "bias": sd["inconv.bias"]}
+    pe = convert_positional_encoder(sd, "positional_encoder")
+    if pe:
+        params["positional_encoder"] = pe
+    if classical:
+        for i in range(n_stages):
+            ap = f"attention_heads.{i}"
+            params[f"attention_{i}"] = {
+                "fc_q": {"kernel": dense_kernel(sd[f"{ap}.fc_q.weight"]),
+                         "bias": sd[f"{ap}.fc_q.bias"]},
+                "fc_k": {"kernel": dense_kernel(sd[f"{ap}.fc_k.weight"]),
+                         "bias": sd[f"{ap}.fc_k.bias"]},
+                "fc_v": {"kernel": dense_kernel(sd[f"{ap}.fc_v.weight"]),
+                         "bias": sd[f"{ap}.fc_v.bias"]},
+                "fc_out": {"kernel": dense_kernel(sd[f"{ap}.fc_out.weight"])},
+                "layer_norm": {"scale": sd[f"{ap}.layer_norm.weight"],
+                               "bias": sd[f"{ap}.layer_norm.bias"]},
+            }
+    else:
+        params["attention"] = {
+            "query": sd["attention_heads.0.Q"],
+            "fc1_k": {"kernel": dense_kernel(sd["attention_heads.0.fc1_k.weight"]),
+                      "bias": sd["attention_heads.0.fc1_k.bias"]},
+        }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_unet_naive(sd, n_stages=4):
+    """Unet_naive state dict -> flax variables (reference unet.py:172-349).
+    Same module inventory as UTAE minus the temporal encoder; all norms are
+    BatchNorm."""
+    params, stats = {}, {}
+    _stitch(params, stats, "in_conv",
+            convert_conv_layer(sd, "in_conv.conv", 2, "any"))
+    params["in_conv"] = {"conv": params["in_conv"]}
+    if "in_conv" in stats:
+        stats["in_conv"] = {"conv": stats["in_conv"]}
+    for i in range(n_stages - 1):
+        _stitch(params, stats, f"down_{i}",
+                convert_down_block(sd, f"down_blocks.{i}"))
+        _stitch(params, stats, f"up_{i}", convert_up_block(sd, f"up_blocks.{i}"))
+    oc = convert_conv_layer(sd, "out_conv.conv", 2, "any")
+    params["out_conv"] = {"conv": oc["params"]}
+    if "batch_stats" in oc:
+        stats["out_conv"] = {"conv": oc["batch_stats"]}
     return {"params": params, "batch_stats": stats}
 
 
