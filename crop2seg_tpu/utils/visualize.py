@@ -205,3 +205,200 @@ def ndvi_class_profiles(x: np.ndarray, dates: np.ndarray, target: np.ndarray,
     ax.legend(fontsize=7, ncol=2)
     fig.tight_layout()
     return _save(fig, path)
+
+
+# --- band/time pixel profiles (reference visualize.py:42-76) ---------------
+
+S2_BAND_NAMES = ("B04", "B03", "B02", "B08", "B05", "B06", "B07", "B8A",
+                 "B11", "B12")  # PASTIS channel order (s2_ts_cz_crop.py:248)
+
+
+def plot_spectral_profile(x: np.ndarray, time: int = 0,
+                          window=(5, 10, 5, 10), scale: float = 1e4,
+                          band_names: Sequence[str] = S2_BAND_NAMES,
+                          title: str = "", path: Optional[str] = None):
+    """Per-pixel spectral profile: band index on x, reflectance on y, one
+    line per pixel of the window (reference visualize_bands,
+    visualize.py:42-62). ``x`` is channels-last (T, H, W, C)."""
+    y0, y1, x0, x1 = window
+    vals = x[time, y0:y1, x0:x1, :].reshape(-1, x.shape[-1]) / scale
+    fig, ax = plt.subplots()
+    ax.plot(range(len(band_names)), vals.T)
+    ax.set_xticks(range(len(band_names)), band_names)
+    ax.set_xlabel("Spectral band")
+    ax.set_ylabel("Reflectance")
+    ax.set_title(f"Spectral profile: {title}" if title else "Spectral profile")
+    return _save(fig, path)
+
+
+def plot_band_over_time(x: np.ndarray, band: int = 2,
+                        window=(5, 10, 5, 10), dates=None,
+                        path: Optional[str] = None):
+    """One band's values through the time series for each pixel of the
+    window (reference visualize_time, visualize.py:66-74).
+    ``x`` channels-last (T, H, W, C)."""
+    y0, y1, x0, x1 = window
+    vals = x[:, y0:y1, x0:x1, band].reshape(x.shape[0], -1)
+    fig, ax = plt.subplots()
+    t = np.arange(x.shape[0]) if dates is None else np.asarray(dates)
+    ax.plot(t, vals)
+    ax.set_xlabel("date" if dates is not None else "time index")
+    ax.set_title(f"Band {band} in time")
+    return _save(fig, path)
+
+
+# --- confusion matrix with totals (confusion_matrix_pretty_print.py) -------
+
+def cm_with_totals(cm: np.ndarray, print_iou: bool = True,
+                   ignore_index: Sequence[int] = ()):
+    """Augment a KxK confusion matrix (rows = actual, cols = predicted) with
+    the reference's total/recall/precision/IoU/F1 margins
+    (confusion_matrix_pretty_print.py:133-222, insert_totals), numpy-only.
+
+    Returns (table, row_labels, col_labels): table is (K+3, K+3) float with
+    layout [[cm, Sum(actual), Recall, IoU], [Sum(predic)...], [Precision...,
+    OA], [F1..., mIoU]]; ignored classes carry -0.0 like the reference.
+    """
+    cm = np.asarray(cm, np.float64)
+    k = cm.shape[0]
+    relevant = [i for i in range(k) if i not in ignore_index]
+    diag = np.diag(cm)
+    sum_lin = cm.sum(axis=1)                       # per actual class
+    sum_col = cm.sum(axis=0)                       # per predicted class
+    sum_lin_c = cm[:, relevant].sum(axis=1)
+    sum_col_c = cm[relevant, :].sum(axis=0)
+    trace = diag[relevant].sum()
+    total_c = sum_lin_c[relevant].sum()
+
+    def guarded(num, den):
+        return np.where(den != 0, num / np.maximum(den, 1e-12), 0.0)
+
+    recall = guarded(diag, sum_lin_c)
+    precision = guarded(diag, sum_col_c)
+    iou = guarded(diag, sum_lin_c + sum_col_c - diag)
+    f1 = guarded(2 * diag, sum_lin_c + sum_col_c)
+    for i in ignore_index:
+        recall[i] = precision[i] = iou[i] = f1[i] = -0.0
+    miou = iou[relevant].mean()
+    mf1 = f1[relevant].mean()
+    oa = trace / total_c if total_c else 0.0
+
+    n = k + 3
+    table = np.zeros((n, n))
+    table[:k, :k] = cm
+    table[:k, k] = sum_lin          # Sum(actual)
+    table[k, :k] = sum_col          # Sum(predic)
+    table[k, k] = sum_lin.sum()
+    table[:k, k + 1] = recall
+    table[k + 1, :k] = precision
+    table[k + 1, k + 1] = oa
+    if print_iou:
+        table[:k, k + 2] = iou
+        table[k + 2, :k] = f1
+        table[k + 2, k + 2] = miou
+        table[k + 2, k + 1] = mf1
+    row_labels = list(LABELS[:k]) + ["Sum(predic)", "Precision", "F1 score"]
+    col_labels = list(LABELS[:k]) + ["Sum(actual)", "Recall", "IoU"]
+    return table, row_labels, col_labels
+
+
+def plot_pretty_confusion_matrix(cm: np.ndarray, print_iou: bool = True,
+                                 ignore_index: Sequence[int] = (),
+                                 labels: Sequence[str] = LABELS,
+                                 fmt: str = ".2f", figsize=(18, 15),
+                                 path: Optional[str] = None):
+    """Matlab-style annotated confusion matrix with total/recall/precision/
+    IoU/F1 margins (reference pretty_plot_confusion_matrix,
+    confusion_matrix_pretty_print.py:236-330)."""
+    table, row_labels, col_labels = cm_with_totals(
+        cm, print_iou=print_iou, ignore_index=ignore_index)
+    k = cm.shape[0]
+    row_labels[:k] = list(labels[:k])
+    col_labels[:k] = list(labels[:k])
+    fig, ax = plt.subplots(figsize=figsize)
+    body = np.log1p(np.abs(table))
+    ax.imshow(body, cmap="YlGnBu")
+    for i in range(table.shape[0]):
+        for j in range(table.shape[1]):
+            v = table[i, j]
+            if i >= k or j >= k:
+                txt = f"{v:{fmt}}" if (i > k or j > k) else f"{v:.0f}"
+            else:
+                txt = f"{v:.0f}"
+            ax.text(j, i, txt, ha="center", va="center", fontsize=7)
+    ax.set_xticks(range(len(col_labels)), col_labels, rotation=45,
+                  ha="right", fontsize=8)
+    ax.set_yticks(range(len(row_labels)), row_labels, fontsize=8)
+    ax.set_xlabel("Actual")
+    ax.set_ylabel("Predicted")
+    return _save(fig, path)
+
+
+# --- temporal-window ablations (analyze_ts.py:146-260) ----------------------
+
+def load_window_metrics(path: str, what: str = "overall",
+                        how: str = "until", num_classes: int = 14):
+    """Collect the temporal-window ablation series from overall/per-class
+    metric JSONs (reference load_, analyze_ts.py:146-200): files named
+    all_{overall|per_class}_{until|from}_{month}*.json plus
+    all_{...}_full.json; month buckets jan..oct. Missing files -> NaN."""
+    import glob as _glob
+
+    months = ["jan", "feb", "mar", "april", "may", "jun", "jul", "aug",
+              "sep", "oct"]
+    stem = "all_overall" if what == "overall" else "all_per_class"
+    prefix = f"{stem}_{how}_" if how in ("until", "from") else f"{stem}_"
+    values = []
+    for m in months:
+        pattern = os.path.join(path, prefix + m + ("*.json" if how != "month"
+                                                   else ".json"))
+        hits = sorted(_glob.glob(pattern))
+        try:
+            with open(hits[0]) as fh:
+                blob = json.load(fh)
+            if what == "overall":
+                values.append(blob["MACRO_IoU"])
+            else:
+                values.append([blob[str(c)]["IoU"]
+                               for c in range(num_classes)])
+        except (IndexError, KeyError, OSError):
+            values.append(np.nan if what == "overall"
+                          else [np.nan] * num_classes)
+    # the "full"-window point closes the 'until' series
+    tail = np.nan if what == "overall" else [np.nan] * num_classes
+    if how == "until":
+        try:
+            with open(os.path.join(path, f"{stem}_full.json")) as fh:
+                blob = json.load(fh)
+            tail = (blob["MACRO_IoU"] if what == "overall" else
+                    [blob[str(c)]["IoU"] for c in range(num_classes)])
+        except (OSError, KeyError):
+            pass
+    values.append(tail)
+    return np.asarray(values, np.float64) * 100.0
+
+
+def plot_time_dependence(path: str, what: str = "overall",
+                         how: str = "until", classes: Sequence[int] = (3, 4, 5, 6),
+                         labels: Sequence[str] = LABELS,
+                         out_path: Optional[str] = None):
+    """Cumulative-metric vs temporal-window plot (reference
+    plot_time_dependence, analyze_ts.py:203-227)."""
+    values = load_window_metrics(path, what=what, how=how)
+    if what == "overall":
+        values = values[None, :]
+        classes = (0,)
+        series_labels = ["MACRO mIoU"]
+    else:
+        values = values.T
+        series_labels = [labels[i] for i in classes]
+    fig, ax = plt.subplots()
+    xs = np.arange(values.shape[1])
+    for i, cls in enumerate(classes):
+        ax.plot(xs, values[cls], marker="*", label=series_labels[i])
+    ax.set_ylabel("mIoU")
+    ax.set_xlabel("window end month" if how == "until" else "window start month")
+    ax.set_title(f"Cumulative metric - {how} date")
+    if what == "class":
+        ax.legend(fontsize=8)
+    return _save(fig, out_path)

@@ -44,17 +44,51 @@ def tile_cell_bounds(tile_origin_xy: Tuple[float, float], cell_idx: int,
 
 
 def get_info(tile_name: str, cell_idx: int,
-             tile_origin_xy: Optional[Tuple[float, float]] = None) -> Dict:
+             tile_origin_xy: Optional[Tuple[float, float]] = None,
+             index_path: Optional[str] = None) -> Dict:
     """Resolve a picked cell to tile + bounds (reference get_data.py:176-185).
 
-    When ``tile_origin_xy`` is None the MGRS 100-km grid-square corner is
-    used (S2 footprints from the shapefile index are authoritative but need
-    network access; reference get_data.py:82-110 clones them)."""
+    Origin resolution order: explicit ``tile_origin_xy`` > the authoritative
+    Sentinel-2 shapefile index at ``index_path`` (what the reference clones,
+    get_data.py:82-110) > the MGRS 100-km grid-square corner approximation
+    (documented in :func:`mgrs_tile_origin`)."""
+    if tile_origin_xy is None and index_path is not None:
+        tile_origin_xy = tile_origin_from_index(tile_name, index_path)
     if tile_origin_xy is None:
         tile_origin_xy = mgrs_tile_origin(tile_name)
     return {"tile": tile_name, "cell": cell_idx,
             "bounds": tile_cell_bounds(tile_origin_xy, cell_idx),
             "crs": 32600 + int(tile_name[1:3])}
+
+
+def tile_origin_from_index(tile_name: str, index_path: str
+                           ) -> Tuple[float, float]:
+    """Authoritative tile upper-left corner from the Sentinel-2 shapefile
+    index (justinelliotmeyers/Sentinel-2-Shapefile-Index — the same file the
+    reference clones and spatial-joins, get_data.py:82-110, home.py:63-77).
+
+    The index stores WGS84 footprint polygons with a ``Name`` column
+    ('33UVR'); the corners are reprojected into the tile's UTM zone with the
+    pure-math transform and rounded to whole metres, mirroring the
+    reference's ``round(geom.bounds)`` (get_data.py:34)."""
+    from crop2seg_tpu.gis.geo import wgs84_to_utm
+    from crop2seg_tpu.gis.vectorize import read_shapefile
+
+    name = tile_name.lstrip("T")
+    zone = int(name[:2])
+    for feat in read_shapefile(index_path):
+        if str(feat.get("Name", "")).strip() != name:
+            continue
+        xs, ys = [], []
+        for ring in feat.get("rings", []):
+            for lon, lat in ring:
+                e, n = wgs84_to_utm(lon, lat, zone)
+                xs.append(e)
+                ys.append(n)
+        if not xs:
+            break
+        return (round(min(xs)), round(max(ys)))
+    raise KeyError(f"tile {tile_name} not in index {index_path}")
 
 
 def mgrs_tile_origin(tile_name: str) -> Tuple[float, float]:
@@ -111,7 +145,7 @@ def get_time_series(tile_name: str, bounds, cache_dir: str, client=None,
 
 
 def generate_prediction(data_folder: str, model_dir: str, year: int,
-                        cache_dir: str, use_pallas: bool = True,
+                        cache_dir: str, use_pallas: bool = False,
                         lpis_parcels: Optional[np.ndarray] = None,
                         batch_size: int = 10) -> Dict[str, np.ndarray]:
     """Whole-cell crop map (reference prediction.py:253-355, TPU-native).

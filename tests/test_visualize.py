@@ -46,3 +46,71 @@ def test_per_class_and_ndvi(tmp_path):
     ndvi_class_profiles(x, np.arange(6) * 10.0, target,
                         path=str(tmp_path / "ndvi.png"))
     assert (tmp_path / "pc.png").exists() and (tmp_path / "ndvi.png").exists()
+
+
+def test_cm_with_totals_margins():
+    """Margins match hand-computed recall/precision/IoU/F1 with an ignored
+    class (reference insert_totals, confusion_matrix_pretty_print.py:133-222)."""
+    import numpy as np
+    from crop2seg_tpu.utils.visualize import cm_with_totals
+
+    cm = np.array([[5, 1, 0],
+                   [2, 7, 1],
+                   [0, 3, 9]], float)
+    table, rlab, clab = cm_with_totals(cm, ignore_index=[0])
+    k = 3
+    # Sum margins count everything
+    assert table[0, k] == 6 and table[k, 0] == 7 and table[k, k] == cm.sum()
+    # class 1 (relevant): row/col sums restricted to relevant classes
+    sum_lin_c = cm[:, 1:].sum(1)      # exclude ignored col
+    sum_col_c = cm[1:, :].sum(0)      # exclude ignored row
+    assert np.isclose(table[1, k + 1], cm[1, 1] / sum_lin_c[1])   # recall
+    assert np.isclose(table[k + 1, 1], cm[1, 1] / sum_col_c[1])   # precision
+    iou1 = cm[1, 1] / (sum_lin_c[1] + sum_col_c[1] - cm[1, 1])
+    assert np.isclose(table[1, k + 2], iou1)
+    # ignored class carries -0.0 sentinel like the reference
+    assert table[0, k + 1] == 0.0 and np.signbit(table[0, k + 1])
+    # OA over relevant classes only
+    oa = (cm[1, 1] + cm[2, 2]) / sum_lin_c[1:].sum()
+    assert np.isclose(table[k + 1, k + 1], oa)
+    assert rlab[-1] == "F1 score" and clab[-1] == "IoU"
+
+
+def test_new_plot_functions_render(tmp_path):
+    import numpy as np
+    from crop2seg_tpu.utils.visualize import (
+        plot_band_over_time, plot_pretty_confusion_matrix,
+        plot_spectral_profile)
+
+    x = np.random.default_rng(0).uniform(0, 1e4, (4, 12, 12, 10))
+    f1 = plot_spectral_profile(x, time=1, path=str(tmp_path / "sp.png"))
+    f2 = plot_band_over_time(x, band=3, path=str(tmp_path / "bt.png"))
+    cm = np.random.default_rng(1).integers(0, 50, (15, 15)).astype(float)
+    f3 = plot_pretty_confusion_matrix(cm, ignore_index=[0, 14],
+                                      path=str(tmp_path / "cm.png"))
+    for f, name in ((f1, "sp"), (f2, "bt"), (f3, "cm")):
+        assert (tmp_path / f"{name}.png").stat().st_size > 0
+
+
+def test_load_window_metrics_and_plot(tmp_path):
+    """Temporal-window ablation loader: until-series with a full-window tail
+    and NaN gaps (reference analyze_ts.py:146-227)."""
+    import json
+
+    import numpy as np
+    from crop2seg_tpu.utils.visualize import (
+        load_window_metrics, plot_time_dependence)
+
+    (tmp_path / "all_overall_until_jan20190101.json").write_text(
+        json.dumps({"MACRO_IoU": 0.5}))
+    (tmp_path / "all_overall_until_mar20190301.json").write_text(
+        json.dumps({"MACRO_IoU": 0.6}))
+    (tmp_path / "all_overall_full.json").write_text(
+        json.dumps({"MACRO_IoU": 0.7}))
+    v = load_window_metrics(str(tmp_path), what="overall", how="until")
+    assert v.shape == (11,)
+    assert np.isclose(v[0], 50) and np.isclose(v[2], 60) and np.isclose(v[-1], 70)
+    assert np.isnan(v[1]) and np.isnan(v[3])
+    fig = plot_time_dependence(str(tmp_path), what="overall", how="until",
+                               out_path=str(tmp_path / "tw.png"))
+    assert (tmp_path / "tw.png").stat().st_size > 0
