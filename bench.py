@@ -83,28 +83,33 @@ def bench_forward(model, variables, dates, pad_mask):
     return ROUNDS * N_CHUNKS * B / dt
 
 
+TILE_B = 4     # whole-tile scan chunk: B=8 OOMs with the 2 GB patch stack
+               # resident next to the full-res L-TAE intermediates
+
+
 def bench_whole_tile(model, variables, dates, pad_mask):
     """BASELINE config #5: 100 patches -> forward -> softmax -> stitch."""
     from crop2seg_tpu.ops.patchify import stitch_inference_tile
 
+    # pad 100 -> multiple of TILE_B on the HOST (an in-jit concat would hold
+    # a second 2 GB copy of the patch stack next to the model transients)
+    pad_n = (-100) % TILE_B
+    n_tot = 100 + pad_n
     patches = jax.random.normal(jax.random.PRNGKey(3),
-                                (100, T, H, W, C), jnp.bfloat16)
+                                (n_tot, T, H, W, C), jnp.bfloat16)
+    tdates = dates[:TILE_B]
+    tmask = pad_mask[:TILE_B]
 
     @jax.jit
     def tile_infer(v, patches):
         def body(_, xb):
-            logits = model.apply(v, xb, dates, pad_mask=pad_mask, train=False)
-            return None, jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            logits = model.apply(v, xb, tdates, pad_mask=tmask, train=False)
+            return None, jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
 
-        # pad 100 -> next multiple of B, scan over B-sized chunks
-        pad_n = (-100) % B
-        if pad_n:
-            patches = jnp.concatenate(
-                [patches, jnp.zeros((pad_n,) + patches.shape[1:],
-                                    patches.dtype)])
-        _, probs = jax.lax.scan(body, None,
-                                patches.reshape(-1, B, T, H, W, C))
-        probs = probs.reshape(-1, H, W, K_CLASSES)[:100]
+        _, probs = jax.lax.scan(
+            body, None, patches.reshape(-1, TILE_B, T, H, W, C))
+        probs = probs.reshape(-1, H, W, K_CLASSES)[:100].astype(jnp.float32)
         tile = stitch_inference_tile(probs)
         return jnp.argmax(tile, axis=-1).astype(jnp.uint8)
 
@@ -118,12 +123,18 @@ def bench_whole_tile(model, variables, dates, pad_mask):
 
 
 def bench_train_step():
-    """Fused train step (fwd+bwd+Adam+CM metrics) at B=16 bf16 + remat."""
+    """Fused train step (fwd+bwd+Adam+CM metrics) at B=16 bf16 + remat.
+
+    Training flagship is UTAE (the reference's principal trained model;
+    TimeUNet's full-resolution L-TAE keeps an 8 GB bf16 sequence tensor as
+    a backward residual at B=16 and cannot fit one chip)."""
     from crop2seg_tpu.learning import (
         StepConfig, create_train_state, make_train_step)
+    from crop2seg_tpu.models import UTAE
     from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
 
-    model = _model(remat=True)
+    model = UTAE(input_dim=C, out_conv=(32, K_CLASSES),
+                 dtype=jnp.bfloat16, remat=True)
     dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
                      (TRAIN_B, 1))
     pad_mask = pad_mask_from_lengths(jnp.full((TRAIN_B,), T), T)
@@ -159,11 +170,15 @@ def bench_train_step():
 
 
 def main():
+    import sys
+
     model = _model()
     variables, dates, pad_mask = _inputs(model)
 
     tile_pps = bench_whole_tile(model, variables, dates, pad_mask)
+    print(f"# tile {tile_pps:.2f} p/s", file=sys.stderr)
     fwd_pps = bench_forward(model, variables, dates, pad_mask)
+    print(f"# fwd {fwd_pps:.2f} p/s", file=sys.stderr)
     train_sps = bench_train_step()
 
     print(json.dumps({
