@@ -45,8 +45,10 @@ TRAIN_STEPS = 4
 
 def _model(remat=False):
     from crop2seg_tpu.models import TimeUNet
+    # use_pallas: the fused L-TAE kernel beats the XLA segment by ~1.4x on
+    # v5e (whole forward ~105 -> ~148 p/s); eval-mode only, XLA for training.
     return TimeUNet(input_dim=C, out_conv=(32, K_CLASSES),
-                    dtype=jnp.bfloat16, remat=remat)
+                    dtype=jnp.bfloat16, remat=remat, use_pallas=True)
 
 
 def _inputs(model):

@@ -61,25 +61,37 @@ def _kernel(x_ref, pe_ref, mask_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 1)
         return (rows // (n_ch // g) == cols).astype(dt)
 
-    def mm(a, b, out_dt=jnp.float32):
-        precision = jax.lax.Precision.HIGHEST if exact else None
+    def mm(a, b, out_dt=jnp.float32, exact_prec=None):
+        # Non-exact mode must pin DEFAULT explicitly: precision=None falls
+        # back to the global jax_default_matmul_precision, and 'highest'
+        # with bf16 operands makes Mosaic emit a multi-pass matmul that
+        # crashes the v5e compiler (observed: remote compile-helper rc=1).
+        use_exact = exact if exact_prec is None else exact_prec
+        precision = (jax.lax.Precision.HIGHEST if use_exact
+                     else jax.lax.Precision.DEFAULT)
         return jnp.dot(a, b, preferred_element_type=out_dt,
                        precision=precision)
 
     sg_c = grouping(c)
     sg_o = grouping(d_out)
 
-    mask_row = mask_ref[0, 0]                              # (T,)
+    mask_col = mask_ref[0]                                 # (T, 1)
     x = x_ref[0]                                           # (T, R, C)
     xf = x.astype(jnp.float32)
     # --- GroupNorm over (T, C/G) per row (torch GroupNorm((N, C, T))) ------
+    # Stats matmuls run fp32-exact even in bf16 mode: the E[x^2]-E[x]^2
+    # cancellation under DEFAULT (bf16-truncated) MXU precision goes
+    # NEGATIVE for rows with small within-group variance, and
+    # rsqrt(negative) poisons the whole row with NaN (observed at ~1e-4 of
+    # real rows). These are (R, C)@(C, G) matmuls — negligible cost.
     cnt = float(t * c_g)
     sum_t = jnp.sum(xf, axis=0)                            # (R, C)
     sumsq_t = jnp.sum(xf * xf, axis=0)                     # (R, C)
-    mean = mm(sum_t, sg_c) / cnt                           # (R, G)
-    var = mm(sumsq_t, sg_c) / cnt - mean * mean
-    mean_big = mm(mean, sg_c.T)                            # (R, C)
-    inv_big = mm(jax.lax.rsqrt(var + eps), sg_c.T)         # (R, C)
+    mean = mm(sum_t, sg_c, exact_prec=True) / cnt          # (R, G)
+    var = mm(sumsq_t, sg_c, exact_prec=True) / cnt - mean * mean
+    var = jnp.maximum(var, 0.0)
+    mean_big = mm(mean, sg_c.T, exact_prec=True)           # (R, C)
+    inv_big = mm(jax.lax.rsqrt(var + eps), sg_c.T, exact_prec=True)
     xn = ((xf - mean_big[None]) * inv_big[None]).astype(cdt)
 
     # --- 1x1 projection (GN affine pre-folded) + positional encoding -------
@@ -89,19 +101,23 @@ def _kernel(x_ref, pe_ref, mask_ref,
     h2 = h.reshape(t * r, d_model)
 
     # --- scores (query pre-contracted into U) + masked softmax over T ------
-    scores = mm(h2, u_ref[:].astype(cdt)) + cs_ref[:]      # (T*R, G) fp32
+    # always fp32: U is tiny (d_model x heads) and the softmax logits set
+    # the attention masks consumed by the whole decoder — bf16 here cost
+    # ~9e-2 absolute attn error vs the module path.
+    # The softmax runs in the (T, R, G) layout with axis-0 reductions: NO
+    # swapaxes. The previous (R*G, T)-lanes layout needed two relayouts and
+    # on v5e leaked garbage into max/sum for rare row alignments (whole-row
+    # NaNs, deterministic, ~1e-4 of rows) — a Mosaic relayout bug this
+    # transpose-free form sidesteps.
+    scores = mm(h2.astype(jnp.float32), u_ref[:]) + cs_ref[:]  # (T*R, G)
     scores = scores.reshape(t, r, g)
-    scores = jnp.swapaxes(scores, 0, 1)                    # (R, T, G)
-    scores = jnp.swapaxes(scores, 1, 2).reshape(r * g, t)  # T on lanes
-    scores = jnp.where(mask_row[None, :] > 0.5, -1e6, scores)
-    smax = jnp.max(scores, axis=1, keepdims=True)
+    scores = jnp.where(mask_col[:, :, None] > 0.5, -1e6, scores)
+    smax = jnp.max(scores, axis=0, keepdims=True)
     e = jnp.exp(scores - smax)
-    attn = e / jnp.sum(e, axis=1, keepdims=True)           # (R*G, T) fp32
+    a_trg = e / jnp.sum(e, axis=0, keepdims=True)          # (T, R, G) fp32
 
     # --- head-grouped weighted sum over T -----------------------------------
     # broadcast each head's weight over its d_v channels via S.T, then sum T.
-    a_rgt = attn.reshape(r, g, t)
-    a_trg = jnp.swapaxes(jnp.swapaxes(a_rgt, 1, 2), 0, 1)  # (T, R, G)
     # Mosaic requires 32-bit matmul accumulators; cast after. NOTE: a
     # widening jnp.sum(bf16, dtype=fp32) crashes the Mosaic compiler on
     # v5e, so the product is cast to fp32 explicitly before the reduce.
@@ -116,15 +132,17 @@ def _kernel(x_ref, pe_ref, mask_ref,
 
     # --- out GroupNorm per row over channel groups --------------------------
     o_g = d_out // g
-    omean = mm(m, sg_o) / float(o_g)                       # (R, G)
-    ovar = mm(m * m, sg_o) / float(o_g) - omean * omean
-    omean_big = mm(omean, sg_o.T)
-    oinv_big = mm(jax.lax.rsqrt(ovar + eps), sg_o.T)
+    omean = mm(m, sg_o, exact_prec=True) / float(o_g)      # (R, G)
+    ovar = mm(m * m, sg_o, exact_prec=True) / float(o_g) - omean * omean
+    ovar = jnp.maximum(ovar, 0.0)
+    omean_big = mm(omean, sg_o.T, exact_prec=True)
+    oinv_big = mm(jax.lax.rsqrt(ovar + eps), sg_o.T, exact_prec=True)
     mn = (m - omean_big) * oinv_big
     out_ref[0] = (mn * out_scale_ref[:][None]
                   + out_bias_ref[:][None]).astype(out_ref.dtype)
     if attn_ref is not None:
-        attn_ref[0] = a_rgt.astype(attn_ref.dtype)         # (R, G, T)
+        # one relayout, only on the need_attn path (TimeUNet skips it)
+        attn_ref[0] = jnp.transpose(a_trg, (1, 2, 0)).astype(attn_ref.dtype)
 
 
 def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
@@ -136,7 +154,7 @@ def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
 
 def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        params: Dict[str, jax.Array], *, n_head: int = 16,
-                       d_k: int = 4, row_block: int = 128,
+                       d_k: int = 4, row_block: int = 64,
                        eps: float = 1e-5, need_attn: bool = True,
                        exact: Optional[bool] = None,
                        interpret: Optional[bool] = None):
@@ -178,7 +196,10 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     cs = (jnp.einsum("gk,gk->g", params["bk"].reshape(n_head, d_k),
                      params["q"]) / np.sqrt(d_k))[None, :]
 
-    mask_f = pad_mask.astype(jnp.float32)[:, None, :]      # (B, 1, T)
+    # (B, T, 1): T on sublanes — the kernel broadcasts the mask over the
+    # (T, R, G) score layout, and moving T off the lane axis inside the
+    # kernel would be an unsupported Mosaic lane reshape.
+    mask_f = pad_mask.astype(jnp.float32)[:, :, None]      # (B, T, 1)
 
     kernel = functools.partial(_kernel, n_head=n_head, eps=eps, exact=exact)
 
@@ -190,9 +211,7 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        # (B, 1, T) so the block's trailing two dims (1, T) equal the array's
-        # (Mosaic requires trailing dims divisible by (8, 128) or full-size).
-        pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, t, 1), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         vec(), vec(), vec(), vec(), vec(), vec(), vec(), vec(),
     ]

@@ -145,7 +145,7 @@ def get_time_series(tile_name: str, bounds, cache_dir: str, client=None,
 
 
 def generate_prediction(data_folder: str, model_dir: str, year: int,
-                        cache_dir: str, use_pallas: bool = False,
+                        cache_dir: str, use_pallas: bool = True,
                         lpis_parcels: Optional[np.ndarray] = None,
                         batch_size: int = 10) -> Dict[str, np.ndarray]:
     """Whole-cell crop map (reference prediction.py:253-355, TPU-native).
