@@ -61,13 +61,12 @@ def _kernel(x_ref, pe_ref, mask_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 1)
         return (rows // (n_ch // g) == cols).astype(dt)
 
-    def mm(a, b, out_dt=jnp.float32, exact_prec=None):
+    def mm(a, b, out_dt=jnp.float32):
         # Non-exact mode must pin DEFAULT explicitly: precision=None falls
         # back to the global jax_default_matmul_precision, and 'highest'
         # with bf16 operands makes Mosaic emit a multi-pass matmul that
         # crashes the v5e compiler (observed: remote compile-helper rc=1).
-        use_exact = exact if exact_prec is None else exact_prec
-        precision = (jax.lax.Precision.HIGHEST if use_exact
+        precision = (jax.lax.Precision.HIGHEST if exact
                      else jax.lax.Precision.DEFAULT)
         return jnp.dot(a, b, preferred_element_type=out_dt,
                        precision=precision)
@@ -79,20 +78,21 @@ def _kernel(x_ref, pe_ref, mask_ref,
     x = x_ref[0]                                           # (T, R, C)
     xf = x.astype(jnp.float32)
     # --- GroupNorm over (T, C/G) per row (torch GroupNorm((N, C, T))) ------
-    # Stats matmuls run fp32-exact even in bf16 mode: the E[x^2]-E[x]^2
-    # cancellation under DEFAULT (bf16-truncated) MXU precision goes
-    # NEGATIVE for rows with small within-group variance, and
-    # rsqrt(negative) poisons the whole row with NaN (observed at ~1e-4 of
-    # real rows). These are (R, C)@(C, G) matmuls — negligible cost.
+    # Two-pass variance (E[(x-mean)^2], not E[x^2]-E[x]^2): the one-pass
+    # cancellation under bf16-truncated MXU passes went NEGATIVE for rows
+    # with small within-group variance and rsqrt(negative) poisoned whole
+    # rows with NaN (~1e-4 of real rows). Centering first removes the
+    # cancellation, so the cheap DEFAULT-precision matmuls are safe; the
+    # clamp guards the last ulp.
     cnt = float(t * c_g)
     sum_t = jnp.sum(xf, axis=0)                            # (R, C)
-    sumsq_t = jnp.sum(xf * xf, axis=0)                     # (R, C)
-    mean = mm(sum_t, sg_c, exact_prec=True) / cnt          # (R, G)
-    var = mm(sumsq_t, sg_c, exact_prec=True) / cnt - mean * mean
-    var = jnp.maximum(var, 0.0)
-    mean_big = mm(mean, sg_c.T, exact_prec=True)           # (R, C)
-    inv_big = mm(jax.lax.rsqrt(var + eps), sg_c.T, exact_prec=True)
-    xn = ((xf - mean_big[None]) * inv_big[None]).astype(cdt)
+    mean = mm(sum_t, sg_c) / cnt                           # (R, G)
+    mean_big = mm(mean, sg_c.T)                            # (R, C)
+    cen = xf - mean_big[None]                              # (T, R, C)
+    var = jnp.maximum(
+        mm(jnp.sum(cen * cen, axis=0), sg_c) / cnt, 0.0)   # (R, G)
+    inv_big = mm(jax.lax.rsqrt(var + eps), sg_c.T)         # (R, C)
+    xn = (cen * inv_big[None]).astype(cdt)
 
     # --- 1x1 projection (GN affine pre-folded) + positional encoding -------
     h = mm(xn.reshape(t * r, c), win_ref[:].astype(cdt)) + bin_ref[:][None]
@@ -101,15 +101,13 @@ def _kernel(x_ref, pe_ref, mask_ref,
     h2 = h.reshape(t * r, d_model)
 
     # --- scores (query pre-contracted into U) + masked softmax over T ------
-    # always fp32: U is tiny (d_model x heads) and the softmax logits set
-    # the attention masks consumed by the whole decoder — bf16 here cost
-    # ~9e-2 absolute attn error vs the module path.
-    # The softmax runs in the (T, R, G) layout with axis-0 reductions: NO
+    # single-pass bf16 matmul with fp32 accumulation; the softmax itself is
+    # fp32. The softmax runs in the (T, R, G) layout with axis-0 reductions: NO
     # swapaxes. The previous (R*G, T)-lanes layout needed two relayouts and
     # on v5e leaked garbage into max/sum for rare row alignments (whole-row
     # NaNs, deterministic, ~1e-4 of rows) — a Mosaic relayout bug this
     # transpose-free form sidesteps.
-    scores = mm(h2.astype(jnp.float32), u_ref[:]) + cs_ref[:]  # (T*R, G)
+    scores = mm(h2, u_ref[:].astype(cdt)) + cs_ref[:]      # (T*R, G) fp32
     scores = scores.reshape(t, r, g)
     scores = jnp.where(mask_col[:, :, None] > 0.5, -1e6, scores)
     smax = jnp.max(scores, axis=0, keepdims=True)
@@ -132,12 +130,11 @@ def _kernel(x_ref, pe_ref, mask_ref,
 
     # --- out GroupNorm per row over channel groups --------------------------
     o_g = d_out // g
-    omean = mm(m, sg_o, exact_prec=True) / float(o_g)      # (R, G)
-    ovar = mm(m * m, sg_o, exact_prec=True) / float(o_g) - omean * omean
-    ovar = jnp.maximum(ovar, 0.0)
-    omean_big = mm(omean, sg_o.T, exact_prec=True)
-    oinv_big = mm(jax.lax.rsqrt(ovar + eps), sg_o.T, exact_prec=True)
-    mn = (m - omean_big) * oinv_big
+    omean = mm(m, sg_o) / float(o_g)                       # (R, G)
+    ocen = m - mm(omean, sg_o.T)
+    ovar = jnp.maximum(mm(ocen * ocen, sg_o) / float(o_g), 0.0)
+    oinv_big = mm(jax.lax.rsqrt(ovar + eps), sg_o.T)
+    mn = ocen * oinv_big
     out_ref[0] = (mn * out_scale_ref[:][None]
                   + out_bias_ref[:][None]).astype(out_ref.dtype)
     if attn_ref is not None:
