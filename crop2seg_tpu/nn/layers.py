@@ -53,17 +53,27 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = spatial_pad(x, self.padding, self.padding_mode)
-        return nn.Conv(
+        p = self.padding
+        # zeros padding stays implicit in the conv (no materialized padded
+        # copy in HBM). Reflect MUST materialize: a border-fix variant using
+        # dynamic_update_slice was tried and is slower on v5e (XLA lowers
+        # the ring updates as full-tensor copies: 20.4 -> 32.3 ms for the
+        # flagship in_conv block); the materialized pad sits at its copy
+        # floor (~4.5 ms/GB-layer).
+        implicit = p == 0 or self.padding_mode == "zeros"
+        conv = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="VALID",
+            padding=((p, p), (p, p)) if implicit else "VALID",
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )
+        if implicit:
+            return conv(x)
+        return conv(spatial_pad(x, p, self.padding_mode))
 
 
 class ConvTranspose2d(nn.Module):
