@@ -63,12 +63,18 @@ class BatchLoader:
     Replaces torch DataLoader for the host pipeline (reference train.py:346-380).
     Optionally weighted sampling with replacement (the reference builds a
     WeightedRandomSampler at train.py:340-344).
+
+    ``native=True`` (default) assembles x/pad_mask on the C++ thread pool
+    (crop2seg_tpu/native: npy parse + channel reorder + standardize +
+    channels-last transpose + bucket pad, off the GIL) whenever the dataset
+    reports a compatible plan; otherwise falls back to the Python path.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
                  pad_value: float = 0.0, drop_last: bool = True,
-                 sample_weights: Optional[np.ndarray] = None, seed: int = 0):
+                 sample_weights: Optional[np.ndarray] = None, seed: int = 0,
+                 native: bool = True, native_threads: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -76,7 +82,41 @@ class BatchLoader:
         self.pad_value = pad_value
         self.drop_last = drop_last
         self.sample_weights = sample_weights
+        self.native_threads = native_threads
         self._rng = np.random.default_rng(seed)
+        self._plan = None
+        if native:
+            try:
+                from crop2seg_tpu import native as nat
+                plan_fn = getattr(dataset, "native_batch_plan", None)
+                if plan_fn is not None and nat.available():
+                    self._plan = plan_fn()
+                    self._native = nat
+            except Exception:
+                self._plan = None
+
+    def _native_batch(self, chunk) -> Dict[str, np.ndarray]:
+        metas = [self.dataset.light_item(int(i)) for i in chunk]
+        tb = pick_bucket(max(m["length"] for m in metas), self.t_buckets)
+        paths = [m["path"] for m in metas]
+        shape = self._native.npy_shape(paths[0])
+        x, pad_mask, lengths = self._native.load_batch(
+            paths, tb, shape[2], shape[3], reorder=self._plan["reorder"],
+            mean=self._plan["mean"], std=self._plan["std"],
+            pad_value=self.pad_value, n_threads=self.native_threads)
+        dshape = (len(metas), tb) + metas[0]["dates"].shape[1:]
+        dates = np.zeros(dshape, np.float32)
+        for i, m in enumerate(metas):
+            t = min(m["length"], tb)
+            dates[i, :t] = m["dates"][:t]
+        out = {"x": x, "dates": dates, "pad_mask": pad_mask,
+               "lengths": lengths,
+               "ids": np.asarray([m["id"] for m in metas], np.int64)}
+        if "y" in metas[0]:
+            out["y"] = np.stack([m["y"] for m in metas]).astype(np.int32)
+        if "affine" in metas[0]:
+            out["affine"] = np.stack([m["affine"] for m in metas])
+        return out
 
     def __len__(self):
         n = len(self.dataset)
@@ -96,8 +136,11 @@ class BatchLoader:
             chunk = idx[start:start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 return
-            samples = [self.dataset[int(i)] for i in chunk]
-            yield collate(samples, self.t_buckets, self.pad_value)
+            if self._plan is not None:
+                yield self._native_batch(chunk)
+            else:
+                samples = [self.dataset[int(i)] for i in chunk]
+                yield collate(samples, self.t_buckets, self.pad_value)
 
 
 class PrefetchLoader:

@@ -167,6 +167,52 @@ class S2TSCZCropDataset:
                 target = np.vectorize(lambda v: self.class_mapping[v])(target)
         return data, target
 
+    # --- native C++ fast path (crop2seg_tpu/native) ----------------------
+
+    def native_batch_plan(self):
+        """Channel-reorder + normalization spec for the native batch
+        assembler, or None when per-item Python work (NDVI, mono-date,
+        augmentation, temporal dropout, RAM cache) makes it inapplicable."""
+        if (self.add_ndvi or self.mono_date is not None or self.cache
+                or (self.set_type == "train"
+                    and (self.transform is not None
+                         or self.temporal_dropout > 0.0))):
+            return None
+        mean, std = self.norm if self.norm is not None else (None, None)
+        return {"reorder": list(self.channels_order), "mean": mean,
+                "std": std}
+
+    def data_path(self, id_patch: int) -> str:
+        p = os.path.join(self.folder, "DATA_S2", f"S2_{id_patch}")
+        return p if os.path.exists(p) else p + ".npy"
+
+    def light_item(self, item: int) -> Dict[str, np.ndarray]:
+        """Everything __getitem__ yields EXCEPT x (which the native loader
+        assembles): dates, y, id, affine, path."""
+        id_patch = self.id_patches[item]
+        dates = self._dates_absolute(id_patch) if self.use_doy else \
+            self._dates_relative(id_patch)
+        if self.use_abs_rel_enc:
+            dates2 = self._dates_absolute(id_patch) if not self.use_doy else \
+                self._dates_relative(id_patch)
+            d = np.stack([dates, dates2], axis=-1)
+        else:
+            d = dates
+        sample = {"dates": d.astype(np.float32), "id": id_patch,
+                  "length": int(dates.shape[0]),
+                  "path": self.data_path(id_patch)}
+        if not self.for_inference:
+            target = _load_array(self.folder, "ANNOTATIONS",
+                                 f"TARGET_{id_patch}").astype(np.int32)
+            if self.class_mapping is not None:
+                target = np.vectorize(
+                    lambda v: self.class_mapping[v])(target)
+            sample["y"] = target
+        if self.get_affine:
+            sample["affine"] = np.asarray(
+                self.meta_patch.loc[id_patch, "affine"], np.float32)
+        return sample
+
     def __getitem__(self, item: int) -> Dict[str, np.ndarray]:
         id_patch = self.id_patches[item]
         if self.cache and item in self._memory:
