@@ -20,14 +20,19 @@ from crop2seg_tpu.nn.layers import ConvBlock, DownConvBlock, UpConvBlock
 
 
 class Unet(nn.Module):
-    input_dim: int = 10
+    """Time-agnostic plain U-Net (reference unet.py:14-169). Faithful to the
+    reference as shipped: there is NO in_conv — the input must already carry
+    ``encoder_widths[0]`` channels (the module is an unwired ablation
+    building block; reference get_model never constructs it either,
+    learning/utils.py:50-195)."""
+
     encoder_widths: Sequence[int] = (64, 64, 64, 128)
     decoder_widths: Sequence[int] = (32, 32, 64, 128)
     out_conv: Sequence[int] = (32, 20)
     str_conv_k: int = 4
     str_conv_s: int = 2
     str_conv_p: int = 1
-    encoder_norm: str = "batch"
+    encoder_norm: str = "group"
     encoder: bool = False
     padding_mode: str = "reflect"
     conv_type: str = "2d"
@@ -39,11 +44,7 @@ class Unet(nn.Module):
                  train: bool = False):
         enc_w, dec_w = self.encoder_widths, self.decoder_widths
         n_stages = len(enc_w)
-        out = ConvBlock(nkernels=(self.input_dim, enc_w[0], enc_w[0]),
-                        norm=self.encoder_norm, padding_mode=self.padding_mode,
-                        conv_type=self.conv_type,
-                        add_squeeze=self.add_squeeze_excit,
-                        dtype=self.dtype, name="in_conv")(x, train=train)
+        out = x
         feature_maps = [out]
         for i in range(n_stages - 1):
             out = DownConvBlock(

@@ -222,25 +222,30 @@ def main():
          y_b=y_b.numpy(), sd=sd_np(utae2))
 
 
+def _stub_timm():
+    """reference unet.py imports timm at module level for the (unused-here)
+    Exchanger blocks; stub it so Unet/Unet_naive import without timm."""
+    import types
+    if "timm" in sys.modules:
+        return
+    layers = types.ModuleType("timm.models.layers")
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    layers.get_act_layer = lambda name=None: torch.nn.ReLU
+    models = types.ModuleType("timm.models")
+    models.layers = layers
+    timm = types.ModuleType("timm")
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+
 def extra_models():
     """MBConv-UTAE + Unet_naive fixtures (round-1 VERDICT item 7: the
     --use_mbconv flag, reference utae.py:118-127 / mbconv.py, and the
     T-folding Unet_naive, reference unet.py:172-349, previously had no
     golden parity)."""
-    # reference unet.py imports timm at module level for the (unused-here)
-    # Exchanger blocks; stub it so Unet_naive can be constructed without timm.
-    import types
-    if "timm" not in sys.modules:
-        layers = types.ModuleType("timm.models.layers")
-        layers.trunc_normal_ = torch.nn.init.trunc_normal_
-        layers.get_act_layer = lambda name=None: torch.nn.ReLU
-        models = types.ModuleType("timm.models")
-        models.layers = layers
-        timm = types.ModuleType("timm")
-        timm.models = models
-        sys.modules["timm"] = timm
-        sys.modules["timm.models"] = models
-        sys.modules["timm.models.layers"] = layers
+    _stub_timm()
 
     from src.backbones.utae import UTAE
     from src.backbones.unet import Unet_naive
@@ -373,6 +378,29 @@ def recurrent_and_3d():
 
 GROUPS = {"main": main, "recurrent": recurrent_and_3d, "extra": extra_models}
 
+
+def unet_plain():
+    """Plain time-agnostic Unet (reference unet.py:14-169; unwired in
+    get_model — an ablation building block with NO in_conv: input must
+    already carry encoder_widths[0] channels)."""
+    _stub_timm()
+    from src.backbones.unet import Unet
+
+    torch.manual_seed(75)
+    m = Unet(encoder_widths=[8, 8, 16], decoder_widths=[4, 8, 16],
+             out_conv=[4, 5]).eval()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    x = torch.randn(2, 8, 16, 16, generator=torch.Generator().manual_seed(76))
+    with torch.no_grad():
+        y = m(x)
+    save("unet_plain", x=x.numpy(), y=y.numpy(), sd=sd_np(m))
+
+
+GROUPS["unet_plain"] = unet_plain
+
 if __name__ == "__main__":
-    for g in (sys.argv[1:] or ["main", "recurrent", "extra"]):
+    for g in (sys.argv[1:] or ["main", "recurrent", "extra", "unet_plain"]):
         GROUPS[g]()

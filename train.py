@@ -95,6 +95,9 @@ parser.add_argument("--num_devices", default=None, type=int,
 parser.add_argument("--platform", default=None, type=str,
                     help="pin the JAX default device / mesh devices to this "
                          "platform (e.g. 'cpu' for the virtual host mesh)")
+parser.add_argument("--profile", default=None, type=str, metavar="DIR",
+                    help="capture a jax.profiler trace of epoch 1 into DIR "
+                         "(view with tensorboard or xprof)")
 parser.add_argument("--synthetic_patches", default=12, type=int)
 parser.add_argument("--use_weighted_sampling", action="store_true",
                     help="weighted random sampling with replacement from the "
@@ -384,11 +387,17 @@ def main(config):
         for epoch in range(start_epoch, config.epochs + 1):
             logging.info("EPOCH %d/%d", epoch, config.epochs)
             rng, erng = jax.random.split(rng)
+            profiling = config.profile and epoch == start_epoch
+            if profiling:
+                jax.profiler.start_trace(config.profile)
             state, train_metrics, _ = run_epoch(
                 train_step, state,
                 map(make_train_batch, train_loader), step_cfg, mode="train",
                 rng=erng, display_step=config.display_step,
                 log_fn=logging.info)
+            if profiling:
+                jax.profiler.stop_trace()
+                logging.info("profiler trace written to %s", config.profile)
             if epoch % config.val_every == 0 and epoch > config.val_after:
                 _, val_metrics, _ = run_epoch(
                     eval_step, state, map(make_eval_batch, val_loader),
