@@ -32,7 +32,7 @@ import numpy as np
 REFERENCE_PATCHES_PER_SEC = 0.01745  # torch CPU, measured on this host
 
 B = 8          # patches per forward (raw forward bench)
-N_CHUNKS = 6   # forwards per timed round trip
+N_CHUNKS = 12  # forwards per timed round trip (amortizes the ~31 ms relay fetch)
 T = 61         # max S2TSCzCrop series length
 H = W = 128
 C = 10

@@ -184,9 +184,28 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
                            set_type="train", for_inference=True,
                            reference_date=conf["ref_date"])
     # all 100 patches of a cell share dates; assemble the (T, 1098^2, C) tile
-    samples = [ds[i] for i in range(len(ds))]
-    t = samples[0]["length"]
-    dates = samples[0]["dates"]
+    # (native C++ loader when available: parallel npy decode + reorder +
+    # normalize off the GIL — this is the host-side half of the whole-tile
+    # latency; Python fallback otherwise)
+    plan = ds.native_batch_plan()
+    native_x = None
+    try:
+        from crop2seg_tpu import native as nat
+        if plan is not None and nat.available() and len(ds):
+            meta0 = ds.light_item(0)
+            t = meta0["length"]
+            paths = [ds.light_item(i)["path"] for i in range(len(ds))]
+            shape = nat.npy_shape(paths[0])
+            native_x, _, _ = nat.load_batch(
+                paths, t, shape[2], shape[3], reorder=plan["reorder"],
+                mean=plan["mean"], std=plan["std"])
+            dates = meta0["dates"]
+    except Exception:
+        native_x = None
+    if native_x is None:
+        samples = [ds[i] for i in range(len(ds))]
+        t = samples[0]["length"]
+        dates = samples[0]["dates"]
 
     fold_dir = os.path.join(model_dir, "Fold_1")
     if os.path.exists(os.path.join(fold_dir, "model.ckpt")):
@@ -203,7 +222,9 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
     from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
     from crop2seg_tpu.ops.patchify import stitch_inference_tile
 
-    patch_stack = jnp.asarray(np.stack([s["x"] for s in samples]))  # (100,T,128,128,C)
+    patch_stack = jnp.asarray(
+        native_x if native_x is not None
+        else np.stack([s["x"] for s in samples]))  # (100, T, 128, 128, C)
     dates_j = jnp.tile(jnp.asarray(dates)[None, :], (batch_size, 1))
     mask_j = jnp.tile(pad_mask_from_lengths(jnp.asarray([t]), t),
                       (batch_size, 1))
