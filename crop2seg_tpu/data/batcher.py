@@ -9,9 +9,12 @@ an explicit input — models never inspect data values for padding.
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 DEFAULT_T_BUCKETS = (32, 48, 61)
 
@@ -86,14 +89,16 @@ class BatchLoader:
         self._rng = np.random.default_rng(seed)
         self._plan = None
         if native:
-            try:
-                from crop2seg_tpu import native as nat
-                plan_fn = getattr(dataset, "native_batch_plan", None)
-                if plan_fn is not None and nat.available():
+            from crop2seg_tpu import native as nat
+            plan_fn = getattr(dataset, "native_batch_plan", None)
+            if plan_fn is not None and nat.available():
+                try:
                     self._plan = plan_fn()
                     self._native = nat
-            except Exception:
-                self._plan = None
+                except (OSError, ValueError, KeyError) as e:
+                    log.warning("native batch plan unavailable, using the "
+                                "Python collate path: %s", e)
+                    self._plan = None
 
     def _native_batch(self, chunk) -> Dict[str, np.ndarray]:
         metas = [self.dataset.light_item(int(i)) for i in chunk]
@@ -137,10 +142,18 @@ class BatchLoader:
             if len(chunk) < self.batch_size and self.drop_last:
                 return
             if self._plan is not None:
-                yield self._native_batch(chunk)
-            else:
-                samples = [self.dataset[int(i)] for i in chunk]
-                yield collate(samples, self.t_buckets, self.pad_value)
+                try:
+                    yield self._native_batch(chunk)
+                    continue
+                except OSError as e:
+                    # e.g. an npy dtype the C++ parser doesn't handle mid-
+                    # dataset: drop to the Python path for the rest of the run
+                    log.warning("native batch load failed, permanently "
+                                "falling back to the Python collate path: %s",
+                                e)
+                    self._plan = None
+            samples = [self.dataset[int(i)] for i in chunk]
+            yield collate(samples, self.t_buckets, self.pad_value)
 
 
 class PrefetchLoader:

@@ -26,55 +26,66 @@ _E2 = _F * (2 - _F)
 _EP2 = _E2 / (1 - _E2)
 
 
-def wgs84_to_utm(lon: float, lat: float, zone: int) -> Tuple[float, float]:
+def _maybe_scalar(scalar_in: bool, *arrs):
+    if scalar_in:
+        return tuple(float(a) for a in arrs)
+    return arrs
+
+
+def wgs84_to_utm(lon, lat, zone: int):
     """(lon, lat) degrees -> (easting, northing) in the given UTM zone
-    (northern hemisphere)."""
+    (northern hemisphere). Vectorized over numpy arrays; scalars in ->
+    floats out (raster_reproject feeds ~1e6 destination pixels at once,
+    so the math must stay elementwise-numpy, not per-point Python)."""
+    scalar_in = np.ndim(lon) == 0 and np.ndim(lat) == 0
     lon0 = math.radians(zone * 6 - 183)
-    phi = math.radians(lat)
-    lam = math.radians(lon) - lon0
-    n = _A / math.sqrt(1 - _E2 * math.sin(phi) ** 2)
-    t = math.tan(phi) ** 2
-    c = _EP2 * math.cos(phi) ** 2
-    a = math.cos(phi) * lam
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64)) - lon0
+    n = _A / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+    t = np.tan(phi) ** 2
+    c = _EP2 * np.cos(phi) ** 2
+    a = np.cos(phi) * lam
     m = _A * ((1 - _E2 / 4 - 3 * _E2 ** 2 / 64 - 5 * _E2 ** 3 / 256) * phi
               - (3 * _E2 / 8 + 3 * _E2 ** 2 / 32 + 45 * _E2 ** 3 / 1024)
-              * math.sin(2 * phi)
-              + (15 * _E2 ** 2 / 256 + 45 * _E2 ** 3 / 1024) * math.sin(4 * phi)
-              - (35 * _E2 ** 3 / 3072) * math.sin(6 * phi))
+              * np.sin(2 * phi)
+              + (15 * _E2 ** 2 / 256 + 45 * _E2 ** 3 / 1024) * np.sin(4 * phi)
+              - (35 * _E2 ** 3 / 3072) * np.sin(6 * phi))
     east = _K0 * n * (a + (1 - t + c) * a ** 3 / 6
                       + (5 - 18 * t + t ** 2 + 72 * c - 58 * _EP2)
                       * a ** 5 / 120) + 500000.0
-    north = _K0 * (m + n * math.tan(phi) * (
+    north = _K0 * (m + n * np.tan(phi) * (
         a ** 2 / 2 + (5 - t + 9 * c + 4 * c ** 2) * a ** 4 / 24
         + (61 - 58 * t + t ** 2 + 600 * c - 330 * _EP2) * a ** 6 / 720))
-    return east, north
+    return _maybe_scalar(scalar_in, east, north)
 
 
-def utm_to_wgs84(east: float, north: float, zone: int) -> Tuple[float, float]:
-    """(easting, northing) northern-hemisphere UTM -> (lon, lat) degrees."""
-    x = east - 500000.0
-    m = north / _K0
+def utm_to_wgs84(east, north, zone: int):
+    """(easting, northing) northern-hemisphere UTM -> (lon, lat) degrees.
+    Vectorized over numpy arrays; scalars in -> floats out."""
+    scalar_in = np.ndim(east) == 0 and np.ndim(north) == 0
+    x = np.asarray(east, np.float64) - 500000.0
+    m = np.asarray(north, np.float64) / _K0
     mu = m / (_A * (1 - _E2 / 4 - 3 * _E2 ** 2 / 64 - 5 * _E2 ** 3 / 256))
     e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
-    phi1 = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * math.sin(2 * mu)
-            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * math.sin(4 * mu)
-            + (151 * e1 ** 3 / 96) * math.sin(6 * mu)
-            + (1097 * e1 ** 4 / 512) * math.sin(8 * mu))
-    n1 = _A / math.sqrt(1 - _E2 * math.sin(phi1) ** 2)
-    r1 = _A * (1 - _E2) / (1 - _E2 * math.sin(phi1) ** 2) ** 1.5
-    t1 = math.tan(phi1) ** 2
-    c1 = _EP2 * math.cos(phi1) ** 2
+    phi1 = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    n1 = _A / np.sqrt(1 - _E2 * np.sin(phi1) ** 2)
+    r1 = _A * (1 - _E2) / (1 - _E2 * np.sin(phi1) ** 2) ** 1.5
+    t1 = np.tan(phi1) ** 2
+    c1 = _EP2 * np.cos(phi1) ** 2
     d = x / (n1 * _K0)
-    phi = phi1 - (n1 * math.tan(phi1) / r1) * (
+    phi = phi1 - (n1 * np.tan(phi1) / r1) * (
         d ** 2 / 2 - (5 + 3 * t1 + 10 * c1 - 4 * c1 ** 2 - 9 * _EP2)
         * d ** 4 / 24
         + (61 + 90 * t1 + 298 * c1 + 45 * t1 ** 2 - 252 * _EP2 - 3 * c1 ** 2)
         * d ** 6 / 720)
     lam = (d - (1 + 2 * t1 + c1) * d ** 3 / 6
            + (5 - 2 * c1 + 28 * t1 - 3 * c1 ** 2 + 8 * _EP2 + 24 * t1 ** 2)
-           * d ** 5 / 120) / math.cos(phi1)
+           * d ** 5 / 120) / np.cos(phi1)
     lon0 = zone * 6 - 183
-    return lon0 + math.degrees(lam), math.degrees(phi)
+    return _maybe_scalar(scalar_in, lon0 + np.degrees(lam), np.degrees(phi))
 
 
 # --- Krovak / S-JTSK (EPSG:5514) ------------------------------------------
@@ -236,13 +247,8 @@ def transform_coords(x, y, src_epsg: int, dst_epsg: int):
         if epsg == 5514:
             return sjtsk_to_wgs84(x, y)
         if 32601 <= epsg <= 32660:
-            xs, ys = np.atleast_1d(np.asarray(x, np.float64)), \
-                np.atleast_1d(np.asarray(y, np.float64))
-            pairs = [utm_to_wgs84(float(e), float(n), epsg - 32600)
-                     for e, n in zip(xs.ravel(), ys.ravel())]
-            lon = np.asarray([p[0] for p in pairs]).reshape(xs.shape)
-            lat = np.asarray([p[1] for p in pairs]).reshape(ys.shape)
-            return lon, lat
+            return utm_to_wgs84(np.asarray(x, np.float64),
+                                np.asarray(y, np.float64), epsg - 32600)
         raise ValueError(f"unsupported CRS EPSG:{epsg}")
 
     def from_wgs(lon, lat, epsg):
@@ -251,12 +257,8 @@ def transform_coords(x, y, src_epsg: int, dst_epsg: int):
         if epsg == 5514:
             return wgs84_to_sjtsk(lon, lat)
         if 32601 <= epsg <= 32660:
-            lons, lats = np.atleast_1d(lon), np.atleast_1d(lat)
-            pairs = [wgs84_to_utm(float(lo), float(la), epsg - 32600)
-                     for lo, la in zip(lons.ravel(), lats.ravel())]
-            e = np.asarray([p[0] for p in pairs]).reshape(lons.shape)
-            n = np.asarray([p[1] for p in pairs]).reshape(lats.shape)
-            return e, n
+            return wgs84_to_utm(np.asarray(lon, np.float64),
+                                np.asarray(lat, np.float64), epsg - 32600)
         raise ValueError(f"unsupported CRS EPSG:{epsg}")
 
     lon, lat = to_wgs(x, y, src_epsg)

@@ -151,6 +151,26 @@ def run_epoch(step_fn, state, loader, cfg: StepConfig, mode: str = "train",
     meter2 = IoUMeter(cfg.num_classes, ignore)
     meter_b = IoUMeter(2) if cfg.add_boundary_loss else None
     losses_sum, n_batches = 0.0, 0
+    # Per-step host fetches cost ~31 ms each on the TPU relay (4 fetches/step
+    # = ~12-25% of a 0.5 s train step): accumulate loss and the confusion
+    # matrices ON DEVICE with eager adds and fetch only at display_step
+    # boundaries / epoch end. (The reference fetches every batch —
+    # learning/utils.py:383-388 — which is free on its single-GPU setup.)
+    acc_keys = ("loss", "cm", "cm_top2") + \
+        (("cm_b",) if meter_b is not None else ())
+    acc = None
+
+    def flush():
+        nonlocal acc, losses_sum
+        if acc is None:
+            return
+        losses_sum += float(acc["loss"])
+        meter.add_cm(acc["cm"])
+        meter2.add_cm(acc["cm_top2"])
+        if meter_b is not None:
+            meter_b.add_cm(acc["cm_b"])
+        acc = None
+
     t0 = time.time()
     for i, batch in enumerate(loader):
         if mode == "train":
@@ -158,21 +178,23 @@ def run_epoch(step_fn, state, loader, cfg: StepConfig, mode: str = "train",
             state, aux = step_fn(state, batch, sub)
         else:
             aux = step_fn(state, batch)
-        losses_sum += float(aux["loss"])
-        n_batches += 1
         if homogenizer is not None and "pred" in aux:
+            # get_affine path: predictions round-trip through the host LPIS
+            # homogenizer anyway, so the deferral buys nothing here
             pred_h = homogenizer(np.asarray(aux["pred"]), batch)
             aux = dict(aux)
             aux["cm"] = confusion_matrix(
                 jnp.asarray(pred_h), batch["y"], cfg.num_classes)
-        meter.add_cm(aux["cm"])
-        meter2.add_cm(aux["cm_top2"])
-        if meter_b is not None:
-            meter_b.add_cm(aux["cm_b"])
+        step_vals = {k: aux[k] for k in acc_keys}
+        acc = step_vals if acc is None \
+            else {k: acc[k] + step_vals[k] for k in acc_keys}
+        n_batches += 1
         if (i + 1) % display_step == 0:
-            miou, acc = meter.get_miou_acc()
+            flush()
+            miou, acc_pct = meter.get_miou_acc()
             log_fn(f"Step [{i + 1}], Loss: {losses_sum / n_batches:.4f}, "
-                   f"Acc: {acc:.2f}, mIoU: {miou:.2f}")
+                   f"Acc: {acc_pct:.2f}, mIoU: {miou:.2f}")
+    flush()
     total_time = time.time() - t0
     miou, acc = meter.get_miou_acc()
     miou2, acc2 = meter2.get_miou_acc()

@@ -8,11 +8,14 @@ present; callers keep the pure-Python path.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 from typing import Optional, Sequence
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_loader.so")
@@ -26,7 +29,12 @@ def _build() -> bool:
                         "-std=c++17", "-o", _SO, src, "-lpthread"],
                        check=True, capture_output=True)
         return True
-    except (OSError, subprocess.CalledProcessError):
+    except OSError as e:
+        log.warning("native loader build skipped (no g++?): %s", e)
+        return False
+    except subprocess.CalledProcessError as e:
+        log.warning("native loader build failed:\n%s",
+                    e.stderr.decode(errors="replace") if e.stderr else e)
         return False
 
 
@@ -92,10 +100,17 @@ def load_batch(paths: Sequence[str], t_bucket: int, h: int, w: int,
     c_out = len(reorder)
     reorder_a = np.ascontiguousarray(reorder, np.int32)
     mean_p = std_p = None
+    if (mean is None) != (std is None):
+        raise ValueError("mean and std must be given together "
+                         f"(got mean={'set' if mean is not None else None}, "
+                         f"std={'set' if std is not None else None})")
     if mean is not None:
         mean_a = np.ascontiguousarray(mean, np.float32)
         std_a = np.ascontiguousarray(std, np.float32)
-        assert mean_a.shape == (c_out,) and std_a.shape == (c_out,)
+        if mean_a.shape != (c_out,) or std_a.shape != (c_out,):
+            raise ValueError(
+                f"mean/std must have shape ({c_out},) matching the reorder "
+                f"list; got {mean_a.shape} / {std_a.shape}")
         mean_p = mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         std_p = std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     x = np.empty((n, t_bucket, h, w, c_out), np.float32)

@@ -21,12 +21,16 @@
 
 namespace {
 
+enum NpyDtype { kF4, kF2, kU2, kI2, kU1 };
+
 struct NpyInfo {
   int64_t shape[4] = {0, 0, 0, 0};
   int ndim = 0;
-  bool f16 = false;
+  NpyDtype dtype = kF4;
   size_t data_offset = 0;
 };
+
+inline size_t dtype_size(NpyDtype d) { return d == kF4 ? 4 : d == kU1 ? 1 : 2; }
 
 // minimal .npy v1/v2 header parse; returns false on malformed files
 bool parse_npy_header(FILE* f, NpyInfo* info) {
@@ -49,10 +53,19 @@ bool parse_npy_header(FILE* f, NpyInfo* info) {
   std::string hdr(hlen, '\0');
   if (fread(&hdr[0], 1, hlen, f) != hlen) return false;
   if (hdr.find("'fortran_order': True") != std::string::npos) return false;
+  // the reference dataset creator saves DATA_S2 patches as uint16
+  // (sentinel2raster.py:396 profile dtype) and TARGETs can be uint8/int16;
+  // its __getitem__ casts on load — we widen to float here instead.
   if (hdr.find("<f4") != std::string::npos) {
-    info->f16 = false;
+    info->dtype = kF4;
   } else if (hdr.find("<f2") != std::string::npos) {
-    info->f16 = true;
+    info->dtype = kF2;
+  } else if (hdr.find("<u2") != std::string::npos) {
+    info->dtype = kU2;
+  } else if (hdr.find("<i2") != std::string::npos) {
+    info->dtype = kI2;
+  } else if (hdr.find("|u1") != std::string::npos) {
+    info->dtype = kU1;
   } else {
     return false;
   }
@@ -110,7 +123,7 @@ int load_one(const char* path, int t_bucket, float pad_value,
   const int64_t hw = int64_t(h) * w;
   const int t_use = int(T < t_bucket ? T : t_bucket);
   *length = t_use;
-  const size_t esz = info.f16 ? 2 : 4;
+  const size_t esz = dtype_size(info.dtype);
   std::vector<unsigned char> frame(size_t(C_in) * hw * esz);
 
   if (fseek(f, long(info.data_offset), SEEK_SET) != 0) { fclose(f); return -4; }
@@ -126,16 +139,41 @@ int load_one(const char* path, int t_bucket, float pad_value,
       const float m = mean ? mean[ci] : 0.0f;
       const float inv = stdv ? 1.0f / stdv[ci] : 1.0f;
       float* dst = dst_t + ci;
-      if (info.f16) {
-        const uint16_t* src =
-            reinterpret_cast<const uint16_t*>(frame.data()) + size_t(cs) * hw;
-        for (int64_t p = 0; p < hw; p++)
-          dst[size_t(p) * c_out] = (half_to_float(src[p]) - m) * inv;
-      } else {
-        const float* src =
-            reinterpret_cast<const float*>(frame.data()) + size_t(cs) * hw;
-        for (int64_t p = 0; p < hw; p++)
-          dst[size_t(p) * c_out] = (src[p] - m) * inv;
+      switch (info.dtype) {
+        case kF2: {
+          const uint16_t* src =
+              reinterpret_cast<const uint16_t*>(frame.data()) + size_t(cs) * hw;
+          for (int64_t p = 0; p < hw; p++)
+            dst[size_t(p) * c_out] = (half_to_float(src[p]) - m) * inv;
+          break;
+        }
+        case kU2: {
+          const uint16_t* src =
+              reinterpret_cast<const uint16_t*>(frame.data()) + size_t(cs) * hw;
+          for (int64_t p = 0; p < hw; p++)
+            dst[size_t(p) * c_out] = (float(src[p]) - m) * inv;
+          break;
+        }
+        case kI2: {
+          const int16_t* src =
+              reinterpret_cast<const int16_t*>(frame.data()) + size_t(cs) * hw;
+          for (int64_t p = 0; p < hw; p++)
+            dst[size_t(p) * c_out] = (float(src[p]) - m) * inv;
+          break;
+        }
+        case kU1: {
+          const uint8_t* src =
+              reinterpret_cast<const uint8_t*>(frame.data()) + size_t(cs) * hw;
+          for (int64_t p = 0; p < hw; p++)
+            dst[size_t(p) * c_out] = (float(src[p]) - m) * inv;
+          break;
+        }
+        default: {
+          const float* src =
+              reinterpret_cast<const float*>(frame.data()) + size_t(cs) * hw;
+          for (int64_t p = 0; p < hw; p++)
+            dst[size_t(p) * c_out] = (src[p] - m) * inv;
+        }
       }
     }
     mask[t] = 0;

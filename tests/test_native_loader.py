@@ -70,6 +70,42 @@ def test_native_npy_shape(dataset_dir):
     assert shape == (9, 10, 32, 32)
 
 
+@pytest.mark.parametrize("dtype", [np.uint16, np.int16, np.uint8])
+def test_native_integer_archives(tmp_path, dtype):
+    """The reference dataset creator saves DATA_S2 as uint16
+    (sentinel2raster.py:396); the native parser must widen, not reject."""
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 250, (6, 10, 16, 16)).astype(dtype)
+    p = str(tmp_path / "u.npy")
+    np.save(p, arr)
+    x, mask, lengths = native.load_batch(
+        [p], 8, 16, 16, reorder=[2, 1, 0, 4, 5, 6, 3, 7, 8, 9],
+        mean=np.full(10, 100.0), std=np.full(10, 50.0))
+    assert lengths[0] == 6 and mask[0].tolist() == [False] * 6 + [True] * 2
+    want = (arr.astype(np.float32)[:, [2, 1, 0, 4, 5, 6, 3, 7, 8, 9]]
+            - 100.0) / 50.0
+    np.testing.assert_allclose(x[0, :6], np.transpose(want, (0, 2, 3, 1)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_load_batch_mean_without_std_raises(tmp_path):
+    p = str(tmp_path / "v.npy")
+    np.save(p, np.zeros((2, 3, 4, 4), np.float32))
+    with pytest.raises(ValueError, match="together"):
+        native.load_batch([p], 4, 4, 4, mean=np.zeros(3))
+    with pytest.raises(ValueError, match="shape"):
+        native.load_batch([p], 4, 4, 4, mean=np.zeros(2), std=np.ones(2))
+
+
+def test_batcher_falls_back_on_bad_native_file(dataset_dir, tmp_path):
+    """A dtype the C++ parser rejects mid-run must downgrade to the Python
+    path, not kill training."""
+    p = str(tmp_path / "c8.npy")
+    np.save(p, np.zeros((3, 10, 32, 32), np.complex64))
+    with pytest.raises(OSError):
+        native.load_batch([p], 4, 32, 32)
+
+
 def test_native_f16_and_speed(dataset_dir, tmp_path):
     """float16 archives decode correctly; native beats Python on repeat."""
     rng = np.random.default_rng(1)

@@ -113,6 +113,81 @@ def test_eval_with_homogenizer():
     assert metrics["test_accuracy"] == 100.0
 
 
+def test_ragged_eval_batch_padding_on_mesh():
+    """A final eval batch smaller than the mesh batch is padded with
+    ignore-labeled duplicate rows (train.py to_host_batch): loss and the
+    confusion matrix must be invariant vs the unpadded batch on one device
+    (the weighted CE divides by sum(w[y]) and w[ignore]=0; the CM's ignore
+    row is zeroed by the meter)."""
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "train.py")
+    spec = importlib.util.spec_from_file_location("c2s_train_cli_rg", path)
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    model, variables, batch = _model_and_batch()
+    weights = [1.0] * K
+    ignore_label = (-1) % K
+    weights[ignore_label] = 0.0
+    cfg = StepConfig(num_classes=K, ignore_index=-1,
+                     class_weights=tuple(weights))
+    state = create_train_state(model, variables, 1e-3)
+
+    ragged = {k: np.asarray(v)[:5] for k, v in batch.items()}
+    padded = cli.to_host_batch(dict(ragged), pad_to=8,
+                               ignore_label=ignore_label)
+    assert padded["y"].shape[0] == 8
+    np.testing.assert_array_equal(padded["y"][5:], ignore_label)
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    estep = data_parallel_eval(make_eval_step(model, cfg), mesh)
+    aux_pad = estep(replicate(state, mesh), padded)
+
+    estep1 = jax.jit(make_eval_step(model, cfg))
+    aux_ref = estep1(state, ragged)
+
+    np.testing.assert_allclose(float(aux_pad["loss"]), float(aux_ref["loss"]),
+                               rtol=2e-5)
+    cm_pad = np.array(aux_pad["cm"])
+    cm_ref = np.array(aux_ref["cm"])
+    # pad rows land only in the ignore row of the CM, which metrics zero out
+    cm_pad[ignore_label, :] = 0
+    cm_ref[ignore_label, :] = 0
+    np.testing.assert_array_equal(cm_pad, cm_ref)
+
+
+def test_checkpoint_restores_opt_state(tmp_path):
+    """save_state stores the Adam moments; load_state(state=...) restores
+    them with matching optax structure (the reference drops optimizer state
+    on resume — train.py:459-460 commented out; we keep it)."""
+    from crop2seg_tpu.learning import checkpoint as ckpt
+    model, variables, batch = _model_and_batch()
+    cfg = StepConfig(num_classes=K)
+    state = create_train_state(model, variables, 1e-3)
+    step = jax.jit(make_train_step(model, cfg))
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    ckpt.save_state(str(tmp_path), state, epoch=1, best_miou=0.25)
+
+    fresh = create_train_state(model, variables, 1e-3)
+    payload = ckpt.load_state(str(tmp_path), state=fresh)
+    restored = fresh.replace(params=payload["params"],
+                             opt_state=payload["opt_state"])
+    want = jax.tree_util.tree_leaves(state.opt_state)
+    got = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(want) == len(got) and len(got) > 2
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), rtol=1e-6)
+    # the moments are non-trivial (a step ran), not a fresh zero state
+    mom = jax.tree_util.tree_leaves(restored.opt_state)
+    assert any(np.abs(np.asarray(m)).max() > 0 for m in mom)
+    # continuing from the restored state is numerically identical
+    s_a, aux_a = step(state, batch, jax.random.PRNGKey(1))
+    s_b, aux_b = step(restored, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(aux_a["loss"]), float(aux_b["loss"]),
+                               rtol=1e-6)
+
+
 def test_bf16_train_step():
     """bf16 compute path: one step runs finite with fp32 params."""
     import jax.numpy as jnp

@@ -98,6 +98,12 @@ parser.add_argument("--platform", default=None, type=str,
 parser.add_argument("--profile", default=None, type=str, metavar="DIR",
                     help="capture a jax.profiler trace of epoch 1 into DIR "
                          "(view with tensorboard or xprof)")
+parser.add_argument("--use_pallas", default="auto", type=str,
+                    choices=("auto", "true", "false"),
+                    help="fused Pallas L-TAE kernel on the eval/inference "
+                         "path (training always takes the XLA path; the "
+                         "kernel is forward-only). 'auto' = on when the run "
+                         "executes on a TPU backend")
 parser.add_argument("--synthetic_patches", default=12, type=int)
 parser.add_argument("--use_weighted_sampling", action="store_true",
                     help="weighted random sampling with replacement from the "
@@ -220,6 +226,23 @@ def merge_pretrained(fresh, loaded):
     return merged, skipped
 
 
+def resolve_use_pallas(config) -> bool:
+    """'auto' -> fused Pallas L-TAE kernel on when the run executes on a TPU
+    backend (the kernel is Mosaic/TPU-only and forward-only; the LTAE module
+    gates it to eval internally, so enabling it never affects training math).
+    This makes `train.py --test` — the mIoU-parity eval path — take the fast
+    kernel by default on TPU (reference eval path: train.py:217-269)."""
+    import jax
+
+    val = str(getattr(config, "use_pallas", "auto")).lower()
+    if val in ("true", "1"):
+        return True
+    if val in ("false", "0", "none"):
+        return False
+    backend = config.platform or jax.default_backend()
+    return backend not in ("cpu",)
+
+
 def main(config):
     import jax
     import jax.numpy as jnp
@@ -285,6 +308,7 @@ def main(config):
         config_dtype = None
     model_cfg = dict(vars(config))
     model_cfg["dtype"] = config_dtype
+    model_cfg["use_pallas"] = resolve_use_pallas(config)
     model = get_model(model_cfg)
 
     # init from a sample batch
@@ -294,6 +318,7 @@ def main(config):
                            pad_mask=sample["pad_mask"], train=False)
 
     start_epoch, best_miou, trainlog = 1, 0.0, {}
+    resume_opt_dir = None
     if config.weight_folder:
         torch_path = os.path.join(config.weight_folder, f"Fold_{fold}",
                                   "model.pth.tar")
@@ -311,6 +336,8 @@ def main(config):
                 # (reference train.py:255-269)
                 start_epoch = int(payload["meta"]["epoch"]) + 1
                 best_miou = float(payload["meta"]["best_mIoU"])
+                resume_opt_dir = os.path.join(config.weight_folder,
+                                              f"Fold_{fold}")
                 log_path = os.path.join(config.weight_folder, f"Fold_{fold}",
                                         "trainlog.json")
                 if os.path.exists(log_path):
@@ -350,6 +377,14 @@ def main(config):
         add_boundary_loss=config.add_boundary_loss,
         test_region="all")
     state = create_train_state(model, variables, config.lr)
+    if resume_opt_dir is not None:
+        # Restore the Adam moments too (checkpoint.save_state stores them).
+        # The reference drops optimizer state on resume (train.py:459-460
+        # commented out) — a resume there silently restarts the moments; we
+        # restore them with a structured template so Adam continues exactly.
+        payload = ckpt.load_state(resume_opt_dir, state=state)
+        state = state.replace(opt_state=payload["opt_state"])
+        logging.info("restored optimizer state (Adam moments + step count)")
 
     # Data-parallel mesh (SURVEY.md §2.7 item 1; replaces the reference's
     # single-device loop at /root/reference/train.py:447,480-544).
