@@ -46,6 +46,11 @@ class TimeUNet(nn.Module):
     use_doy: bool = False
     add_linear: bool = False
     use_pallas: bool = False
+    # Stream the full-resolution L-TAE over T in chunks of this many steps
+    # (nn.ltae.LTAE.seq_chunk): makes the model TRAINABLE at B>=8 bf16 on one
+    # chip by never materializing the (B*16384, T, 256) embed. The reference
+    # trains this exact model (timeunet.py:169-210).
+    seq_chunk: int | None = None
     # Activation checkpointing of the conv blocks (see UTAE.remat).
     remat: bool = False
     dtype: jnp.dtype | None = None
@@ -80,8 +85,8 @@ class TimeUNet(nn.Module):
             d_k=self.d_k, mlp=(self.d_model, enc_w[0]),
             use_abs_rel_enc=self.use_abs_rel_enc, num_queries=self.num_queries,
             use_doy=use_doy, add_linear=self.add_linear,
-            use_pallas=self.use_pallas, dtype=self.dtype,
-            name="temporal_encoder",
+            use_pallas=self.use_pallas, seq_chunk=self.seq_chunk,
+            dtype=self.dtype, name="temporal_encoder",
         )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train,
           need_attn=return_att)
 

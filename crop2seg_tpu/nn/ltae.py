@@ -45,14 +45,15 @@ def _group_norm_over_time(x: jax.Array, n_groups: int, scale: jax.Array,
     intermediates — the model is HBM-bound).
     """
     t, c = x.shape[-2], x.shape[-1]
+    sdt = jnp.promote_types(x.dtype, jnp.float32)  # f32 stats (f64 under x64)
     g = x.reshape(x.shape[:-2] + (t, n_groups, c // n_groups))
-    mean = jnp.mean(g.astype(jnp.float32), axis=(-3, -1), keepdims=True)
-    var = jnp.mean(jnp.square(g.astype(jnp.float32) - mean), axis=(-3, -1),
+    mean = jnp.mean(g.astype(sdt), axis=(-3, -1), keepdims=True)
+    var = jnp.mean(jnp.square(g.astype(sdt) - mean), axis=(-3, -1),
                    keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     sc = scale.reshape(n_groups, c // n_groups) * inv
     sh = bias.reshape(n_groups, c // n_groups) - mean * sc
-    y = g.astype(jnp.float32) * sc + sh
+    y = g.astype(sdt) * sc + sh
     return y.reshape(x.shape).astype(x.dtype)
 
 
@@ -61,8 +62,9 @@ def _group_norm_btc(x: jax.Array, n_groups: int, scale: jax.Array,
     """Same GroupNorm but on the natural (B, T, H, W, C) layout — stats over
     (T, C/G) per pixel without transposing the big tensor."""
     b, t, h, w, c = x.shape
+    sdt = jnp.promote_types(x.dtype, jnp.float32)
     g = x.reshape(b, t, h, w, n_groups, c // n_groups)
-    g32 = g.astype(jnp.float32)
+    g32 = g.astype(sdt)
     mean = jnp.mean(g32, axis=(1, 5), keepdims=True)
     var = jnp.mean(jnp.square(g32 - mean), axis=(1, 5), keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
@@ -147,6 +149,19 @@ class LTAE(nn.Module):
     # Use the fused Pallas kernel (crop2seg_tpu.ops.ltae_pallas) on the
     # inference path (eval, num_queries=1). Training keeps the XLA path.
     use_pallas: bool = False
+    # Stream the temporal axis in chunks of this many steps through a
+    # rematerialized lax.scan with an online (flash-attention-style) softmax.
+    # The (B*H*W, T, d_model) embed — an ~8 GB backward residual for
+    # TimeUNet's full-resolution L-TAE at B=16 bf16 — is then never
+    # materialized: peak memory drops to one chunk's embed plus small fp32
+    # accumulators, making TimeUNet *trainable* on one chip (the reference
+    # trains this model: timeunet.py:169-210 + train.py:327-328). Numerics
+    # match the unchunked path (online softmax is exact; GroupNorm stats are
+    # precomputed over the full T; BatchNorm still sees every pixel row).
+    # Used when the attention masks are not consumed (TimeUNet discards
+    # them); attn returns None.
+    seq_chunk: int | None = None
+    attn_dropout: float = 0.1
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -172,7 +187,7 @@ class LTAE(nn.Module):
                                   (self.in_channels,), jnp.float32)
         self.attention = MaskedLightweightAttention(
             n_head=self.n_head, d_k=self.d_k, num_queries=self.num_queries,
-            time_major=True, dtype=self.dtype)
+            attn_dropout=self.attn_dropout, time_major=True, dtype=self.dtype)
         self.mlp_dense = nn.Dense(self.mlp[1], dtype=self.dtype)
         self.mlp_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         self.out_scale = self.param("out_norm_scale", nn.initializers.ones,
@@ -235,19 +250,8 @@ class LTAE(nn.Module):
                 None if attn is None
                 else attn.reshape(b, hh, ww, self.n_head, t))
 
-    def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
-                 pad_mask: jax.Array | None = None, train: bool = False,
-                 need_attn: bool = True):
-        # x stays (B, T, H, W, C): attention contracts T in place.
-        # need_attn=False lets the fused kernel skip writing the attention
-        # masks (TimeUNet discards them; XLA DCEs the same work itself).
-        if (self.use_pallas and not train and self.num_queries == 1
-                and self.d_model is not None and not self.is_initializing()):
-            return self._fused(x, batch_positions, pad_mask,
-                               need_attn=need_attn)
-        h = self.embed(x, batch_positions)
-        out, attn = self.attention(h, pad_mask=pad_mask, train=train)
-
+    def _mlp_tail(self, out: jax.Array, train: bool) -> jax.Array:
+        """MLP -> BN -> ReLU -> Dropout -> out GroupNorm on (B, H, W, nq, d)."""
         out = self.mlp_dense(out)
         out = self.mlp_bn(out, use_running_average=not train)
         out = nn.relu(out)
@@ -258,7 +262,131 @@ class LTAE(nn.Module):
         b, hh, ww, nq, c = out.shape
         o = out.reshape(b * hh * ww, nq, c)
         o = _group_norm_over_time(o, self.n_head, self.out_scale, self.out_bias)
-        out = o.reshape(b, hh, ww, nq, c)
+        return o.reshape(b, hh, ww, nq, c)
+
+    def _chunked(self, x: jax.Array, batch_positions: jax.Array | None,
+                 pad_mask: jax.Array | None, train: bool):
+        """Streaming T-chunk attention (see ``seq_chunk``). Exact math:
+
+        - GroupNorm statistics are computed over the ORIGINAL T in a cheap
+          fused reduction (small (B, H, W, G) stats; the reference's GN sees
+          padded frames too, tae.py:461 — chunk padding to a multiple of
+          seq_chunk is masked out of attention and excluded from stats).
+        - Per chunk: normalize -> W_in -> +PE -> keys -> masked scores, then
+          an online softmax (running max m, normalizer l, fp32 value
+          accumulator) — identical to the full softmax up to fp association.
+        - Attention dropout is applied to the normalized weights per chunk
+          (reference drops AFTER softmax, tae.py:836-837: the normalizer l
+          intentionally excludes dropout).
+        - The scan body is jax.checkpoint'ed: backward recomputes one chunk's
+          embed at a time.
+        """
+        b, t, hh, ww, c = x.shape
+        G, dk = self.n_head, self.d_k
+        d_model = self.d_model
+        dv, cg = d_model // G, c // G
+        wdt = self.dtype or x.dtype
+        tc = int(self.seq_chunk)
+        n_chunks = -(-t // tc)
+        tp = n_chunks * tc
+
+        if pad_mask is None:
+            pad_mask = jnp.zeros((b, t), bool)
+
+        # GroupNorm stats over the true T — op-for-op the _group_norm_btc
+        # formula (keepdims f32 two-pass) so the chunked normalize is
+        # bit-identical to the monolithic path
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
+        g32 = x.reshape(b, t, hh, ww, G, cg).astype(sdt)
+        mean = jnp.mean(g32, axis=(1, 5), keepdims=True)  # (b,1,hh,ww,G,1)
+        var = jnp.mean(jnp.square(g32 - mean), axis=(1, 5), keepdims=True)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        sc = self.in_scale.reshape(G, cg) * inv           # (b,1,hh,ww,G,cg)
+        sh = self.in_bias.reshape(G, cg) - mean * sc
+
+        pe = (self._pe(batch_positions) if self.positional_encoding
+              else jnp.zeros((b, t, d_model), jnp.float32))
+
+        # pad T to a chunk multiple; the extra frames are attention-masked
+        x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
+        pe_p = jnp.pad(pe, ((0, 0), (0, tp - t), (0, 0)))
+        mask_p = jnp.pad(pad_mask, ((0, 0), (0, tp - t)),
+                         constant_values=True)
+
+        xs_x = jnp.moveaxis(
+            x_p.reshape(b, n_chunks, tc, hh, ww, c), 1, 0)
+        xs_pe = jnp.moveaxis(pe_p.reshape(b, n_chunks, tc, d_model), 1, 0)
+        xs_m = jnp.moveaxis(mask_p.reshape(b, n_chunks, tc), 1, 0)
+        use_attn_drop = train and self.attn_dropout > 0.0
+        if use_attn_drop:
+            xs_key = jax.random.split(self.make_rng("dropout"), n_chunks)
+        else:
+            xs_key = jnp.zeros((n_chunks, 2), jnp.uint32)
+
+        acc_dt = jnp.promote_types(wdt, jnp.float32)  # fp32 accumulators
+        win = self.inconv.variables["params"]["kernel"].astype(wdt)
+        b_in = self.inconv.variables["params"]["bias"].astype(wdt)
+        att_p = self.attention.variables["params"]
+        wk = att_p["fc1_k"]["kernel"].astype(wdt)
+        bk = att_p["fc1_k"]["bias"].astype(wdt)
+        q = att_p["query"][:, 0, :].astype(wdt)                 # (G, dk)
+        scale = 1.0 / float(np.sqrt(dk))
+
+        def body(carry, xs):
+            m, l, acc = carry
+            x_c, pe_c, mask_c, key_c = xs
+            h = (x_c.reshape(b, tc, hh, ww, G, cg).astype(sdt)
+                 * sc + sh).astype(wdt)
+            h = h.reshape(b, tc, hh, ww, c)
+            h = jnp.einsum("btxyc,cd->btxyd", h, win) + b_in
+            h = h + pe_c[:, :, None, None, :].astype(wdt)
+            k = (jnp.einsum("btxyd,de->btxye", h, wk) + bk).reshape(
+                b, tc, hh, ww, G, dk)
+            scores = jnp.einsum("gd,btxygd->bxygt", q, k,
+                                preferred_element_type=acc_dt) * scale
+            scores = jnp.where(mask_c[:, None, None, None, :],
+                               jnp.asarray(-1e6, acc_dt), scores)
+            m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+            corr = jnp.exp(m - m_new)
+            w = jnp.exp(scores - m_new[..., None])              # (b,x,y,G,tc)
+            l_new = l * corr + jnp.sum(w, axis=-1)
+            if use_attn_drop:
+                keep = jax.random.bernoulli(
+                    key_c, 1.0 - self.attn_dropout, w.shape)
+                wd = jnp.where(keep, w / (1.0 - self.attn_dropout), 0.0)
+            else:
+                wd = w
+            v = h.reshape(b, tc, hh, ww, G, dv)
+            pv = jnp.einsum("bxygt,btxygd->bxygd", wd.astype(wdt), v,
+                            preferred_element_type=acc_dt)
+            acc_new = acc * corr[..., None] + pv
+            return (m_new, l_new, acc_new), None
+
+        init = (jnp.full((b, hh, ww, G), -jnp.inf, acc_dt),
+                jnp.zeros((b, hh, ww, G), acc_dt),
+                jnp.zeros((b, hh, ww, G, dv), acc_dt))
+        (m, l, acc), _ = jax.lax.scan(jax.checkpoint(body), init,
+                                      (xs_x, xs_pe, xs_m, xs_key))
+        out = (acc / l[..., None]).astype(wdt).reshape(b, hh, ww, d_model)
+        out = self._mlp_tail(out[:, :, :, None, :], train)
+        return out[:, :, :, 0, :], None
+
+    def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
+                 pad_mask: jax.Array | None = None, train: bool = False,
+                 need_attn: bool = True):
+        # x stays (B, T, H, W, C): attention contracts T in place.
+        # need_attn=False lets the fused kernel skip writing the attention
+        # masks (TimeUNet discards them; XLA DCEs the same work itself).
+        if (self.use_pallas and not train and self.num_queries == 1
+                and self.d_model is not None and not self.is_initializing()):
+            return self._fused(x, batch_positions, pad_mask,
+                               need_attn=need_attn)
+        if (self.seq_chunk and not need_attn and self.num_queries == 1
+                and self.d_model is not None and not self.is_initializing()):
+            return self._chunked(x, batch_positions, pad_mask, train)
+        h = self.embed(x, batch_positions)
+        out, attn = self.attention(h, pad_mask=pad_mask, train=train)
+        out = self._mlp_tail(out, train)
 
         if self.num_queries == 1:
             return out[:, :, :, 0, :], attn[:, :, :, :, 0, :]

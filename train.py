@@ -104,6 +104,12 @@ parser.add_argument("--use_pallas", default="auto", type=str,
                          "path (training always takes the XLA path; the "
                          "kernel is forward-only). 'auto' = on when the run "
                          "executes on a TPU backend")
+parser.add_argument("--seq_chunk", default=None, type=int,
+                    help="stream the full-resolution L-TAE over T in chunks "
+                         "of this many steps (TimeUNet only): a "
+                         "rematerialized online-softmax scan that makes "
+                         "TimeUNet trainable at B>=8 bf16 on one chip "
+                         "(nn/ltae.py seq_chunk)")
 parser.add_argument("--synthetic_patches", default=12, type=int)
 parser.add_argument("--use_weighted_sampling", action="store_true",
                     help="weighted random sampling with replacement from the "
