@@ -124,19 +124,79 @@ def bench_whole_tile(model, variables, dates, pad_mask):
     return ROUNDS * 100 / dt
 
 
-def bench_train_step():
+BENCH_CELL = "/tmp/c2s_bench_cell"
+
+
+def _ensure_bench_cell(folder=BENCH_CELL):
+    """Real on-disk inference cell: 100 uint16 npy archives (T=61, 10ch,
+    128^2 — the reference's DATA_S2 dtype, sentinel2raster.py:396 profile)
+    plus webapp-style metadata. ~2 GB, built once and reused across runs."""
+    import os
+
+    if os.path.exists(os.path.join(folder, "metadata.json")):
+        return
+    os.makedirs(os.path.join(folder, "DATA_S2"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    start = np.datetime64("2018-09-05")
+    dates = {str(j): int(str(start + np.timedelta64(5 * j, "D"))
+                         .replace("-", "")) for j in range(T)}
+    records = []
+    for i in range(100):
+        np.save(f"{folder}/DATA_S2/S2_{i}.npy",
+                rng.integers(0, 10000, (T, C, H, W)).astype(np.uint16))
+        records.append({"ID_PATCH": i, "TILE": "T33UVR", "Status": "OK",
+                        "time-series_length": T, "crs": 32633, "set": "",
+                        "Fold": 1, "dates-S2": dates,
+                        "affine": [10.0, 0.0, 500000.0, 0.0, -10.0,
+                                   5600000.0]})
+    with open(f"{folder}/metadata.json", "w") as f:
+        json.dump(records, f)
+
+
+def bench_disk_to_map(model, variables):
+    """Honest end-to-end whole-tile rate: npy archives on DISK -> native
+    decode (planar bf16, recycled buffers) overlapped with the chip ->
+    host-stitched 1098^2 class map (stream_tile_inference). This is the
+    number a webapp user sees (reference pipeline:
+    /root/reference/src/webapp/prediction.py:253-355)."""
+    from crop2seg_tpu.data import S2TSCZCropDataset
+    from crop2seg_tpu.webapp.pipeline import stream_tile_inference
+
+    _ensure_bench_cell()
+    norm = {"mean": np.full(C, 5000.0, np.float32),
+            "std": np.full(C, 2000.0, np.float32)}
+    ds = S2TSCZCropDataset(BENCH_CELL, norm=True, norm_values=norm,
+                           set_type="train", for_inference=True,
+                           reference_date="2018-09-01")
+    # warm-up: compile + page cache
+    stream_tile_inference(model, variables, ds, batch_size=10)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        proba, classes = stream_tile_inference(model, variables, ds,
+                                               batch_size=10)
+        dt = time.perf_counter() - t0
+        best = max(best, 100 / dt)
+    assert classes.shape == (1098, 1098) and np.isfinite(proba).all()
+    return best
+
+
+def bench_train_step(model=None):
     """Fused train step (fwd+bwd+Adam+CM metrics) at B=16 bf16 + remat.
 
-    Training flagship is UTAE (the reference's principal trained model;
-    TimeUNet's full-resolution L-TAE keeps an 8 GB bf16 sequence tensor as
-    a backward residual at B=16 and cannot fit one chip)."""
+    Benched for BOTH trained reference models: UTAE and TimeUNet_v1 (the
+    shipped webapp model, reference timeunet.py:169-210 + train.py:327-328).
+    TimeUNet's full-resolution L-TAE would keep an ~8 GB bf16 sequence
+    tensor as a backward residual at B=16; seq_chunk streams it through a
+    rematerialized online-softmax scan (nn/ltae.py) so it fits one chip."""
     from crop2seg_tpu.learning import (
         StepConfig, create_train_state, make_train_step)
     from crop2seg_tpu.models import UTAE
     from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
 
-    model = UTAE(input_dim=C, out_conv=(32, K_CLASSES),
-                 dtype=jnp.bfloat16, remat=True)
+    if model is None:
+        model = UTAE(input_dim=C, out_conv=(32, K_CLASSES),
+                     dtype=jnp.bfloat16, remat=True)
     dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
                      (TRAIN_B, 1))
     pad_mask = pad_mask_from_lengths(jnp.full((TRAIN_B,), T), T)
@@ -182,10 +242,18 @@ def main():
     tile_pps = max(bench_whole_tile(model, variables, dates, pad_mask)
                    for _ in range(2))
     print(f"# tile {tile_pps:.2f} p/s", file=sys.stderr)
+    e2e_pps = bench_disk_to_map(model, variables)
+    print(f"# disk->map {e2e_pps:.2f} p/s", file=sys.stderr)
     fwd_pps = max(bench_forward(model, variables, dates, pad_mask)
                   for _ in range(2))
     print(f"# fwd {fwd_pps:.2f} p/s", file=sys.stderr)
     train_sps = bench_train_step()
+    print(f"# utae train {train_sps:.3f} steps/s", file=sys.stderr)
+    from crop2seg_tpu.models import TimeUNet
+    tu_train_sps = bench_train_step(TimeUNet(
+        input_dim=C, out_conv=(32, K_CLASSES), dtype=jnp.bfloat16,
+        remat=True, seq_chunk=8))
+    print(f"# timeunet train {tu_train_sps:.3f} steps/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": ("whole-tile inference 100x128^2 patches->stitch 1098^2 "
@@ -194,9 +262,12 @@ def main():
         "value": round(tile_pps, 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(tile_pps / REFERENCE_PATCHES_PER_SEC, 1),
+        "e2e_disk_to_map_patches_per_sec": round(e2e_pps, 2),
         "forward_patches_per_sec": round(fwd_pps, 2),
         "train_steps_per_sec": round(train_sps, 3),
         "train_patches_per_sec": round(train_sps * TRAIN_B, 2),
+        "timeunet_train_steps_per_sec": round(tu_train_sps, 3),
+        "timeunet_train_patches_per_sec": round(tu_train_sps * TRAIN_B, 2),
         "train_batch": TRAIN_B,
     }))
 

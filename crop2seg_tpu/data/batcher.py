@@ -101,14 +101,30 @@ class BatchLoader:
                     self._plan = None
 
     def _native_batch(self, chunk) -> Dict[str, np.ndarray]:
-        metas = [self.dataset.light_item(int(i)) for i in chunk]
+        augment = self._plan.get("augment", False)
+        if augment:
+            # RNG draws + y/dates transforms in Python (cheap, identical to
+            # the __getitem__ stream); the per-pixel x work runs in C++
+            # through the frame/pixel gather maps (loader.cpp)
+            metas = [self.dataset.aug_item(int(i)) for i in chunk]
+        else:
+            metas = [self.dataset.light_item(int(i)) for i in chunk]
         tb = pick_bucket(max(m["length"] for m in metas), self.t_buckets)
         paths = [m["path"] for m in metas]
         shape = self._native.npy_shape(paths[0])
+        frame_maps = gathers = None
+        if augment:
+            frame_maps = np.full((len(metas), tb), -1, np.int32)
+            for i, m in enumerate(metas):
+                fi = m["frame_idx"][:tb]
+                frame_maps[i, :len(fi)] = fi
+            if metas[0]["gather"] is not None:
+                gathers = np.stack([m["gather"] for m in metas])
         x, pad_mask, lengths = self._native.load_batch(
             paths, tb, shape[2], shape[3], reorder=self._plan["reorder"],
             mean=self._plan["mean"], std=self._plan["std"],
-            pad_value=self.pad_value, n_threads=self.native_threads)
+            pad_value=self.pad_value, n_threads=self.native_threads,
+            frame_maps=frame_maps, gathers=gathers)
         dshape = (len(metas), tb) + metas[0]["dates"].shape[1:]
         dates = np.zeros(dshape, np.float32)
         for i, m in enumerate(metas):

@@ -172,15 +172,54 @@ class S2TSCZCropDataset:
     def native_batch_plan(self):
         """Channel-reorder + normalization spec for the native batch
         assembler, or None when per-item Python work (NDVI, mono-date,
-        augmentation, temporal dropout, RAM cache) makes it inapplicable."""
-        if (self.add_ndvi or self.mono_date is not None or self.cache
-                or (self.set_type == "train"
-                    and (self.transform is not None
-                         or self.temporal_dropout > 0.0))):
+        RAM cache, non-geometric augmentation) makes it inapplicable.
+
+        Geometric augmentation (flip+rotate) and temporal dropout DO run
+        natively: the RNG draws stay in Python (aug_item) and the C++ loader
+        applies the per-sample pixel/frame gather maps during decode
+        (loader.cpp c2s_load_batch_aug)."""
+        if self.add_ndvi or self.mono_date is not None or self.cache:
             return None
+        augment = (self.set_type == "train"
+                   and (self.transform is not None
+                        or self.temporal_dropout > 0.0))
+        if augment and self.transform is not None and (
+                not hasattr(self.transform, "index_map")
+                or getattr(self.transform, "add_noise", True)
+                or getattr(self.transform, "crop", True)):
+            return None  # noise/crop (or a custom transform) need Python
         mean, std = self.norm if self.norm is not None else (None, None)
         return {"reorder": list(self.channels_order), "mean": mean,
-                "std": std}
+                "std": std, "augment": augment}
+
+    def aug_item(self, item: int) -> Dict[str, np.ndarray]:
+        """light_item plus the native assembler's per-sample augmentation
+        plans, consuming ``self._rng`` in exactly the order ``__getitem__``
+        does (transform geometry first, then temporal dropout), so the
+        native and Python paths produce identical batches for an identical
+        generator state: 'frame_idx' (t',) int32 kept source frames (the
+        batcher pads them into a bucket-length frame_map) and 'gather'
+        (H*W,) int32 pixel permutation or None; 'y'/'dates'/'length' arrive
+        already transformed."""
+        s = self.light_item(item)
+        t = s["length"]
+        s["gather"] = None
+        if (not self.for_inference and self.transform is not None
+                and self.set_type == "train"):
+            deg, flip = self.transform.sample_geometry(self._rng)
+            y = s["y"]
+            gather = self.transform.index_map(*y.shape[-2:], deg, flip)
+            s["y"] = self.transform.apply_map(y, gather)
+            s["gather"] = gather
+        frame_idx = np.arange(t)
+        if self.set_type == "train" and self.temporal_dropout > 0.0:
+            keep = self._rng.random(t) > self.temporal_dropout
+            keep[0] = keep[0] or not keep.any()  # never drop everything
+            frame_idx = np.nonzero(keep)[0]
+        s["frame_idx"] = frame_idx.astype(np.int32)
+        s["dates"] = s["dates"][frame_idx]
+        s["length"] = int(len(frame_idx))
+        return s
 
     def data_path(self, id_patch: int) -> str:
         p = os.path.join(self.folder, "DATA_S2", f"S2_{id_patch}")

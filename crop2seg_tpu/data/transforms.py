@@ -32,23 +32,55 @@ class Transform:
         self.crop = crop
         self.crop_size = crop_size
 
-    def __call__(self, img: np.ndarray, mask: np.ndarray,
-                 rng: np.random.Generator):
+    def sample_geometry(self, rng: np.random.Generator):
+        """Draw (deg, flip) — the exact first two draws of ``__call__``."""
         deg = int(rng.choice(ROTATION_DEGREES))
         flip = int(rng.choice([0, 1, 2]))
+        return deg, flip
+
+    @staticmethod
+    def index_map(h: int, w: int, deg: int, flip: int) -> np.ndarray:
+        """(h*w,) int32 gather map of the flip+rotate pixel permutation:
+        out.flat[p] = in.flat[map[p]] with map[p] == -1 meaning fill 0.
+
+        Built by pushing an index field through the SAME ops the data takes
+        (slice-flip then nearest rotate), so gather-by-map is bit-identical
+        to transforming the data directly — this is what lets the native
+        C++ loader apply the augmentation during decode (loader.cpp)."""
+        idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        if flip == 1:
+            idx = idx[..., ::-1]
+        elif flip == 2:
+            idx = idx[..., ::-1, :]
+        idx = np.ascontiguousarray(idx)
+        if deg % 360 != 0:
+            if deg % 90 == 0:
+                idx = np.rot90(idx, k=int(deg // 90), axes=(-2, -1)).copy()
+            else:
+                from scipy import ndimage
+                idx = ndimage.rotate(idx, deg, axes=(-1, -2), reshape=False,
+                                     order=0, mode="constant", cval=-1)
+        return idx.ravel().astype(np.int32)
+
+    @staticmethod
+    def apply_map(arr: np.ndarray, gmap: np.ndarray) -> np.ndarray:
+        """Gather the trailing (h, w) axes of ``arr`` through ``gmap``."""
+        h, w = arr.shape[-2:]
+        flat = arr.reshape(arr.shape[:-2] + (h * w,))
+        out = flat[..., np.clip(gmap, 0, None)]
+        out[..., gmap < 0] = 0
+        return np.ascontiguousarray(out.reshape(arr.shape))
+
+    def __call__(self, img: np.ndarray, mask: np.ndarray,
+                 rng: np.random.Generator):
+        deg, flip = self.sample_geometry(rng)
 
         if self.add_noise and rng.random() > 0.5:
             img = img + 0.01 * rng.standard_normal(img.shape).astype(img.dtype)
 
-        if flip == 1:    # horizontal = flip last axis
-            img = img[..., ::-1]
-            mask = mask[..., ::-1]
-        elif flip == 2:  # vertical = flip rows
-            img = img[..., ::-1, :]
-            mask = mask[..., ::-1, :]
-
-        img = _rotate_nearest(np.ascontiguousarray(img), deg)
-        mask = _rotate_nearest(np.ascontiguousarray(mask), deg)
+        gmap = self.index_map(img.shape[-2], img.shape[-1], deg, flip)
+        img = self.apply_map(np.ascontiguousarray(img), gmap)
+        mask = self.apply_map(np.ascontiguousarray(mask), gmap)
 
         if self.crop:
             x0, y0 = rng.integers(0, 64, 2)

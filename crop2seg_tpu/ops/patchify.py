@@ -66,6 +66,23 @@ def stitch_inference_tile(patches: jax.Array, out_hw: int = INFER_TILE) -> jax.A
     return full[:out_hw, :out_hw, :]
 
 
+def np_stitch_inference_tile(patches, out_hw: int = INFER_TILE):
+    """Host (numpy) twin of :func:`stitch_inference_tile` for the streamed
+    whole-tile path, where per-chunk outputs are fetched while the next chunk
+    decodes: (100, 128, 128[, K]) -> (out_hw, out_hw[, K])."""
+    import numpy as np
+
+    patches = np.asarray(patches)
+    squeeze = patches.ndim == 3
+    if squeeze:
+        patches = patches[..., None]
+    n = int(round(float(patches.shape[0]) ** 0.5))
+    p, k = patches.shape[1], patches.shape[-1]
+    full = patches.reshape(n, n, p, p, k).transpose(0, 2, 1, 3, 4)
+    full = full.reshape(n * p, n * p, k)[:out_hw, :out_hw]
+    return full[..., 0] if squeeze else full
+
+
 def patchify_training_tile(tile: jax.Array) -> jax.Array:
     """(..., 10980, 10980, C) -> (6724, ..., 128, 128, C) with the reference's
     484 px crop offset (dataset_creator.py:347-385)."""

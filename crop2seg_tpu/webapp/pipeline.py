@@ -144,10 +144,167 @@ def get_time_series(tile_name: str, bounds, cache_dir: str, client=None,
     raise RuntimeError(f"time-series acquisition failed: {last_err}")
 
 
+def stream_tile_inference(model, variables, ds, batch_size: int = 10,
+                          mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Overlapped disk->crop-map inference over the 100 patches of a cell.
+
+    With ``mesh`` (a jax.sharding.Mesh), each forward chunk's patch axis
+    shards across the mesh devices (parallel.patch_parallel_infer — SURVEY
+    §5's multi-chip whole-tile mapping); ``batch_size`` must then divide by
+    the mesh size.
+
+    Replaces the reference's decode-then-infer sequence (its batch-1 loop is
+    at /root/reference/src/webapp/prediction.py:310-323) with a two-stage
+    pipeline on this host's single core:
+
+    - a producer thread decodes chunk k+1 with the native C++ loader
+      (planar (T, C, H, W) bfloat16 — no host transpose, half the write and
+      transfer bytes; ctypes releases the GIL) while
+    - the main thread has chunk k's forward dispatched on the chip and
+      blocks fetching chunk k-1's output (the axon relay executes lazily, so
+      the per-chunk fetch is what forces execution; the GIL is released
+      during the wait, letting the decoder run truly in parallel).
+
+    Returns host (1098, 1098, K) float32 probabilities and (1098, 1098)
+    uint8 classes, stitched on host (ops.patchify.np_stitch_inference_tile).
+    """
+    import queue as _queue
+    from collections import deque
+    from threading import Thread
+
+    import jax
+    import jax.numpy as jnp
+
+    from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
+    from crop2seg_tpu.ops.patchify import np_stitch_inference_tile
+
+    n = len(ds)
+    meta0 = ds.light_item(0)
+    t, dates = meta0["length"], meta0["dates"]
+
+    plan = ds.native_batch_plan()
+    use_native = False
+    if plan is not None:
+        try:
+            from crop2seg_tpu import native as nat
+            use_native = nat.available()
+        except Exception:
+            use_native = False
+
+    # decode buffers are recycled through a free-list: faulting in a fresh
+    # multi-hundred-MB np.empty per chunk costs more than the decode itself
+    # on this host (measured 149 vs 16 patches/s). The consumer returns a
+    # buffer only AFTER jnp.asarray copied it, so reuse cannot race the
+    # transfer.
+    free_q: "_queue.Queue" = _queue.Queue()
+
+    def produce(q):
+        try:
+            if use_native:
+                import ml_dtypes
+                paths = [ds.light_item(i)["path"] for i in range(n)]
+                h, w = nat.npy_shape(paths[0])[2:4]
+                for _ in range(2):
+                    free_q.put(np.empty((batch_size, t, len(plan["reorder"]),
+                                         h, w), ml_dtypes.bfloat16))
+                for s0 in range(0, n, batch_size):
+                    chunk = paths[s0:s0 + batch_size]
+                    buf = free_q.get()
+                    x, _, _ = nat.load_batch(
+                        chunk, t, h, w, reorder=plan["reorder"],
+                        mean=plan["mean"], std=plan["std"],
+                        layout="nchw", out_dtype="bf16",
+                        out=buf[:len(chunk)])
+                    q.put((buf, x, len(chunk)))
+            else:
+                for s0 in range(0, n, batch_size):
+                    samples = [ds[i] for i in range(s0, min(n, s0 + batch_size))]
+                    q.put((None, np.stack([s["x"] for s in samples]),
+                           len(samples)))
+            q.put(None)
+        except Exception as err:  # surface in the consumer thread
+            q.put(err)
+
+    dates_j = jnp.tile(jnp.asarray(dates)[None, :], (batch_size, 1))
+    mask_j = jnp.tile(pad_mask_from_lengths(jnp.asarray([t]), t),
+                      (batch_size, 1))
+
+    def fwd_impl(v, xb):
+        if use_native:  # planar (B, T, C, H, W) -> channels-last, free in XLA
+            xb = jnp.transpose(xb, (0, 1, 3, 4, 2))
+        probs = jax.nn.softmax(
+            model.apply(v, xb, dates_j, pad_mask=mask_j,
+                        train=False).astype(jnp.float32), axis=-1)
+        # bf16 probs: the relay downlink is ~40 MB/s, halving the fetched
+        # bytes halves the per-chunk download time; fp32 restored on host
+        return probs.astype(jnp.bfloat16), jnp.argmax(probs, -1).astype(jnp.uint8)
+
+    if mesh is not None:
+        from crop2seg_tpu.parallel.mesh import patch_parallel_infer
+        fwd = patch_parallel_infer(fwd_impl, mesh)
+    else:
+        fwd = jax.jit(fwd_impl)
+
+    q = _queue.Queue(maxsize=2)
+    Thread(target=produce, args=(q,), daemon=True).start()
+
+    # fetch on a separate thread so the downlink overlaps the uplink (both
+    # release the GIL while waiting on the relay)
+    pending: "_queue.Queue" = _queue.Queue()
+    results: list = []
+    fetch_err: list = []
+
+    def fetch_worker():
+        try:
+            while True:
+                item = pending.get()
+                if item is None:
+                    return
+                (pb, cb), n0 = item
+                results.append((np.asarray(pb)[:n0], np.asarray(cb)[:n0]))
+        except Exception as err:
+            fetch_err.append(err)
+
+    fetcher = Thread(target=fetch_worker, daemon=True)
+    fetcher.start()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, Exception):
+            pending.put(None)
+            raise item
+        buf, xb_np, nb = item
+        if nb < batch_size and buf is None:
+            xb_np = np.concatenate(
+                [xb_np, np.zeros((batch_size - nb,) + xb_np.shape[1:],
+                                 xb_np.dtype)])
+        elif nb < batch_size:
+            buf[nb:] = 0          # pad rows of the recycled buffer
+            xb_np = buf
+        xb_dev = jnp.asarray(xb_np)
+        if buf is not None:
+            free_q.put(buf)       # asarray copied; safe to recycle
+        pending.put((fwd(variables, xb_dev), nb))
+    pending.put(None)
+    fetcher.join()
+    if fetch_err:
+        raise fetch_err[0]
+
+    proba = np_stitch_inference_tile(
+        np.concatenate([p for p, _ in results]).astype(np.float32))
+    proba /= proba.sum(-1, keepdims=True)  # undo bf16-downlink drift (sum=1)
+    classes = np_stitch_inference_tile(
+        np.concatenate([c for _, c in results]))
+    return np.ascontiguousarray(proba), np.ascontiguousarray(classes)
+
+
 def generate_prediction(data_folder: str, model_dir: str, year: int,
                         cache_dir: str, use_pallas: bool = True,
                         lpis_parcels: Optional[np.ndarray] = None,
-                        batch_size: int = 10) -> Dict[str, np.ndarray]:
+                        batch_size: int = 10,
+                        mesh=None) -> Dict[str, np.ndarray]:
     """Whole-cell crop map (reference prediction.py:253-355, TPU-native).
 
     data_folder: DatasetCreator(for_inference) output (100 patches).
@@ -155,6 +312,10 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
     reference's model.pth.tar) + NORM_S2_patch.json.
     Returns {'proba', 'classes', 'segments', 'soft'} plus writes the raster
     + homogenized map into the cache.
+
+    mesh: 'auto' builds a patch-sharding mesh over every visible device when
+    more than one exists (SURVEY §5 whole-tile scaling); a
+    jax.sharding.Mesh uses that mesh; None stays single-device.
     """
     import jax.numpy as jnp
 
@@ -183,29 +344,6 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
     ds = S2TSCZCropDataset(data_folder, norm=True, norm_values=norm,
                            set_type="train", for_inference=True,
                            reference_date=conf["ref_date"])
-    # all 100 patches of a cell share dates; assemble the (T, 1098^2, C) tile
-    # (native C++ loader when available: parallel npy decode + reorder +
-    # normalize off the GIL — this is the host-side half of the whole-tile
-    # latency; Python fallback otherwise)
-    plan = ds.native_batch_plan()
-    native_x = None
-    try:
-        from crop2seg_tpu import native as nat
-        if plan is not None and nat.available() and len(ds):
-            meta0 = ds.light_item(0)
-            t = meta0["length"]
-            paths = [ds.light_item(i)["path"] for i in range(len(ds))]
-            shape = nat.npy_shape(paths[0])
-            native_x, _, _ = nat.load_batch(
-                paths, t, shape[2], shape[3], reorder=plan["reorder"],
-                mean=plan["mean"], std=plan["std"])
-            dates = meta0["dates"]
-    except Exception:
-        native_x = None
-    if native_x is None:
-        samples = [ds[i] for i in range(len(ds))]
-        t = samples[0]["length"]
-        dates = samples[0]["dates"]
 
     fold_dir = os.path.join(model_dir, "Fold_1")
     if os.path.exists(os.path.join(fold_dir, "model.ckpt")):
@@ -217,32 +355,19 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
             os.path.join(fold_dir, "model.pth.tar"), conf["model"],
             n_stages=len(conf.get("encoder_widths", (64, 64, 64, 128))))
 
-    # batched forward over the 100 patches + device-side stitch
-    import jax
-    from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
-    from crop2seg_tpu.ops.patchify import stitch_inference_tile
+    if mesh == "auto":
+        import jax
 
-    patch_stack = jnp.asarray(
-        native_x if native_x is not None
-        else np.stack([s["x"] for s in samples]))  # (100, T, 128, 128, C)
-    dates_j = jnp.tile(jnp.asarray(dates)[None, :], (batch_size, 1))
-    mask_j = jnp.tile(pad_mask_from_lengths(jnp.asarray([t]), t),
-                      (batch_size, 1))
-    fwd = jax.jit(lambda v, xb: jax.nn.softmax(
-        model.apply(v, xb, dates_j, pad_mask=mask_j,
-                    train=False).astype(jnp.float32), axis=-1))
-    probs = []
-    for s0 in range(0, patch_stack.shape[0], batch_size):
-        xb = patch_stack[s0:s0 + batch_size]
-        nb = xb.shape[0]
-        if nb < batch_size:
-            xb = jnp.concatenate([xb, jnp.zeros(
-                (batch_size - nb,) + xb.shape[1:], xb.dtype)])
-        probs.append(fwd(variables, xb)[:nb])
-    proba_patches = jnp.concatenate(probs, axis=0)
-    proba = stitch_inference_tile(proba_patches)
-    out = {"proba": np.asarray(proba),
-           "classes": np.asarray(jnp.argmax(proba, -1).astype(jnp.uint8))}
+        from crop2seg_tpu.parallel import make_mesh
+        devs = jax.devices()
+        mesh = make_mesh(devs) if len(devs) > 1 else None
+    if mesh is not None and batch_size % mesh.shape["data"]:
+        # round the chunk up so each device gets equal patch rows
+        n = mesh.shape["data"]
+        batch_size += n - batch_size % n
+    proba, classes = stream_tile_inference(model, variables, ds, batch_size,
+                                           mesh=mesh)
+    out = {"proba": proba, "classes": classes}
 
     np.save(done_marker, out["classes"])
     affine = None
@@ -264,6 +389,7 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
               "segments": segments, "soft": soft["raster"],
               "polygons": feats}
     if lpis_parcels is not None:
+        result["lpis"] = lpis_parcels
         result["homogenized"] = homogenize_raster(out["classes"], lpis_parcels)
         np.save(os.path.join(pred_dir, "homogenized.npy"),
                 result["homogenized"])

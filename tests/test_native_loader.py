@@ -59,10 +59,19 @@ def test_native_matches_python_collate(dataset_dir):
 
 
 def test_native_plan_gating(dataset_dir):
+    from crop2seg_tpu.data.transforms import Transform
+
     ds = _mk(dataset_dir, temporal_dropout=0.5)
-    assert ds.native_batch_plan() is None  # augmentation path stays Python
+    assert ds.native_batch_plan()["augment"]  # dropout runs natively now
     ds2 = _mk(dataset_dir, add_ndvi=True)
     assert ds2.native_batch_plan() is None
+    # geometric transform: native; noise/crop variants: Python
+    assert _mk(dataset_dir,
+               transform=Transform()).native_batch_plan()["augment"]
+    assert _mk(dataset_dir,
+               transform=Transform(add_noise=True)).native_batch_plan() is None
+    assert _mk(dataset_dir,
+               transform=Transform(crop=True)).native_batch_plan() is None
 
 
 def test_native_npy_shape(dataset_dir):
@@ -121,3 +130,43 @@ def test_native_f16_and_speed(dataset_dir, tmp_path):
             - 500.0) / 100.0
     np.testing.assert_allclose(x[0, :8], np.transpose(want, (0, 2, 3, 1)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_native_augmented_matches_python(dataset_dir):
+    """Geometric augmentation + temporal dropout through the native gather
+    path must be bit-identical to the Python __getitem__ path for an
+    identical RNG stream (transforms.index_map is built by pushing an index
+    field through the same ops the Python path applies to the data)."""
+    from crop2seg_tpu.data.batcher import BatchLoader
+    from crop2seg_tpu.data.transforms import Transform
+
+    kw = dict(transform=Transform(), temporal_dropout=0.3)
+    ds_py = _mk(dataset_dir, **kw)
+    ds_nat = _mk(dataset_dir, **kw)
+    assert ds_nat.native_batch_plan()["augment"]
+    py = list(BatchLoader(ds_py, batch_size=3, shuffle=False, drop_last=False,
+                          t_buckets=(8, 12), native=False))
+    nat = list(BatchLoader(ds_nat, batch_size=3, shuffle=False,
+                           drop_last=False, t_buckets=(8, 12), native=True))
+    assert len(py) == len(nat) == 2
+    for bp, bn in zip(py, nat):
+        assert set(bp) == set(bn)
+        for k in bp:
+            np.testing.assert_allclose(
+                np.asarray(bn[k], np.float64), np.asarray(bp[k], np.float64),
+                rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_native_augmented_speed(dataset_dir):
+    """The augmented native path stays near the plain native rate (the
+    gather adds one extra pass per plane, not a Python fallback)."""
+    from crop2seg_tpu.data.batcher import BatchLoader
+    from crop2seg_tpu.data.transforms import Transform
+
+    ds = _mk(dataset_dir, transform=Transform(), temporal_dropout=0.2)
+    loader = BatchLoader(ds, batch_size=6, shuffle=False, drop_last=False,
+                         t_buckets=(12,), native=True)
+    assert loader._plan is not None and loader._plan["augment"]
+    for batch in loader:
+        assert batch["x"].shape[0] == 6
+        assert np.isfinite(batch["x"]).all()
