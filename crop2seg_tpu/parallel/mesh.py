@@ -83,6 +83,32 @@ def data_parallel_eval(step_fn, mesh: Mesh, axis: str = "data"):
     return wrapped
 
 
+def patch_parallel_infer(fwd_fn, mesh: Mesh, axis: str = "data"):
+    """Whole-tile inference sharding (SURVEY.md §5: "whole-tile inference
+    shards the 100 patches across chips").
+
+    Wraps a ``(variables, patch_batch) -> outputs`` forward so the leading
+    (patch) axis of the batch splits across the mesh's ``axis`` while the
+    parameters stay replicated; outputs are gathered back replicated so the
+    host fetch sees the full batch. The model is batch-parallel, so GSPMD
+    inserts no communication beyond the output gather over ICI.
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    jitted = jax.jit(fwd_fn, in_shardings=(repl, shard), out_shardings=repl)
+
+    def wrapped(variables, patch_batch):
+        n = mesh.shape[axis]
+        b = (patch_batch.shape[0] if hasattr(patch_batch, "shape")
+             else len(patch_batch))
+        if b % n:
+            raise ValueError(
+                f"patch batch {b} must divide over {n} '{axis}' devices")
+        return jitted(variables, patch_batch)
+
+    return wrapped
+
+
 def shard_batch_2d(batch: Dict[str, Any], mesh: Mesh,
                    data_axis: str = "data", space_axis: str = "space"):
     """Shard batch over (data, space): x (B, T, H, W, C) splits B across the

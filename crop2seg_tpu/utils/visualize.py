@@ -125,6 +125,45 @@ def plot_lulc(classes: np.ndarray, labels: Sequence[str] = LABELS,
     return _save(fig, path)
 
 
+def plot_crop_map(classes: np.ndarray, labels: Sequence[str] = LABELS,
+                  lpis_parcels: Optional[np.ndarray] = None,
+                  confidence: Optional[np.ndarray] = None,
+                  path: Optional[str] = None):
+    """Webapp crop-map view (reference webapp/postprocess.py:59-183):
+    15-class legend map with an optional LPIS parcel-boundary overlay
+    (parcels: int32 id raster, 0 = no parcel; boundaries drawn where the
+    id changes) and an optional confidence layer (max softmax prob)
+    rendered as alpha dimming of low-confidence pixels."""
+    from matplotlib.colors import ListedColormap
+    from matplotlib.patches import Patch
+
+    k = len(labels)
+    cmap = ListedColormap(CROP_CMAP[:k])
+    fig, ax = plt.subplots(figsize=(9, 8))
+    alpha = None
+    if confidence is not None:
+        alpha = np.clip(confidence.astype(float), 0.25, 1.0)
+    ax.imshow(classes, cmap=cmap, vmin=0, vmax=k - 1,
+              interpolation="nearest", alpha=alpha)
+    if lpis_parcels is not None:
+        p = np.asarray(lpis_parcels)
+        edge = np.zeros(p.shape, bool)
+        edge[:, 1:] |= p[:, 1:] != p[:, :-1]
+        edge[1:, :] |= p[1:, :] != p[:-1, :]
+        edge &= p != 0
+        overlay = np.zeros(p.shape + (4,), np.float32)
+        overlay[edge] = (0.0, 0.0, 0.0, 0.9)  # black parcel boundaries
+        ax.imshow(overlay, interpolation="nearest")
+    ax.set_axis_off()
+    present = np.unique(np.asarray(classes))
+    handles = [Patch(color=CROP_CMAP[i], label=f"{i}: {labels[i]}")
+               for i in range(k) if i in present]
+    ax.legend(handles=handles, loc="center left", bbox_to_anchor=(1.0, 0.5),
+              fontsize=8)
+    fig.tight_layout()
+    return _save(fig, path)
+
+
 def reliability_plot(confidence: np.ndarray, pred: np.ndarray,
                      target: np.ndarray, n_bins: int = 10,
                      path: Optional[str] = None):

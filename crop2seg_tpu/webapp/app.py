@@ -20,6 +20,7 @@ import numpy as np
 
 from crop2seg_tpu.config import DEFAULT_TILES
 from crop2seg_tpu.data.s2tsczcrop import LABELS
+from crop2seg_tpu.utils.visualize import plot_crop_map
 from crop2seg_tpu.webapp.pipeline import (
     CacheManager, generate_prediction, get_info, get_time_series)
 
@@ -52,16 +53,38 @@ def main():
         st.title("Crop map")
         result = st.session_state.get("result")
         if result is None:
-            path = os.path.join(CACHE_DIR, "prediction", "classes.npy")
+            # fall back to the cached artifacts of the last run
+            pred_dir = os.path.join(CACHE_DIR, "prediction")
+            path = os.path.join(pred_dir, "classes.npy")
             if os.path.exists(path):
                 result = {"classes": np.load(path)}
+                hom = os.path.join(pred_dir, "homogenized.npy")
+                if os.path.exists(hom):
+                    result["homogenized"] = np.load(hom)
         if result is None:
             st.info("No prediction cached yet — run one from Home.")
         else:
-            st.image((result["classes"].astype(float)
-                      / max(len(LABELS) - 1, 1)), caption="Predicted classes",
-                     clamp=True)
-            st.write({i: name for i, name in enumerate(LABELS)})
+            # reference view: 15-class legend map + LPIS overlay toggles
+            # (webapp/postprocess.py:59-183)
+            layers = ["predicted"]
+            if "homogenized" in result:
+                layers.append("LPIS-homogenized")
+            layer = st.radio("Layer", layers, horizontal=True)
+            show_lpis = st.checkbox(
+                "LPIS parcel boundaries",
+                value=False, disabled=result.get("lpis") is None)
+            show_conf = st.checkbox(
+                "Dim low-confidence pixels",
+                value=False, disabled=result.get("proba") is None)
+            classes = (result["homogenized"]
+                       if layer == "LPIS-homogenized" else result["classes"])
+            fig = plot_crop_map(
+                classes, LABELS,
+                lpis_parcels=result.get("lpis") if show_lpis else None,
+                confidence=(result["proba"].max(-1)
+                            if show_conf and result.get("proba") is not None
+                            else None))
+            st.pyplot(fig)
 
     else:
         st.title("Cache management")

@@ -211,3 +211,35 @@ def test_bf16_train_step():
     step = jax.jit(make_train_step(model, cfg))
     state, aux = step(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_patch_parallel_infer_matches_single_device():
+    """Whole-tile patch-axis sharding (parallel.patch_parallel_infer): 16
+    patches over the 8-device mesh must reproduce the single-device forward
+    and stitch (SURVEY §5 multi-chip whole-tile inference)."""
+    from crop2seg_tpu.ops.patchify import np_stitch_inference_tile
+    from crop2seg_tpu.parallel.mesh import patch_parallel_infer
+
+    model, variables, batch = _model_and_batch()
+    n_patches = 16
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((n_patches, T, H, W, C)),
+                     jnp.float32)
+    pdates = jnp.tile(batch["dates"][:1], (n_patches, 1))
+    pmask = jnp.tile(batch["pad_mask"][:1], (n_patches, 1))
+
+    def tile_fwd(v, xb):
+        return model.apply(v, xb, pdates, pad_mask=pmask, train=False)
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    out_sh = np.asarray(patch_parallel_infer(tile_fwd, mesh)(variables, px))
+    out_1d = np.asarray(jax.jit(tile_fwd)(variables, px))
+    np.testing.assert_allclose(out_sh, out_1d, rtol=1e-4, atol=1e-5)
+    side = 4 * H
+    np.testing.assert_array_equal(
+        np_stitch_inference_tile(out_sh.argmax(-1), out_hw=side),
+        np_stitch_inference_tile(out_1d.argmax(-1), out_hw=side))
+
+    # indivisible batch is rejected loudly
+    with pytest.raises(ValueError):
+        patch_parallel_infer(tile_fwd, mesh)(variables, px[:6])

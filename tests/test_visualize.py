@@ -114,3 +114,17 @@ def test_load_window_metrics_and_plot(tmp_path):
     fig = plot_time_dependence(str(tmp_path), what="overall", how="until",
                                out_path=str(tmp_path / "tw.png"))
     assert (tmp_path / "tw.png").stat().st_size > 0
+
+
+def test_crop_map_view(tmp_path):
+    """Webapp crop-map view: legend map + LPIS boundary overlay + confidence
+    dimming (reference webapp/postprocess.py:59-183)."""
+    from crop2seg_tpu.utils.visualize import plot_crop_map
+
+    rng = np.random.default_rng(0)
+    classes = rng.integers(0, 15, (64, 64))
+    parcels = np.repeat(np.repeat(rng.integers(0, 9, (8, 8)), 8, 0), 8, 1)
+    conf = rng.random((64, 64))
+    plot_crop_map(classes, lpis_parcels=parcels, confidence=conf,
+                  path=str(tmp_path / "crop_map.png"))
+    assert (tmp_path / "crop_map.png").exists()
