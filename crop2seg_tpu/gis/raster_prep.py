@@ -112,18 +112,58 @@ def stack_bands(bands: Dict[str, np.ndarray],
     return np.stack(out).astype(np.float32)
 
 
-def read_safe_bands(safe_dir: str) -> Dict[str, np.ndarray]:
+def band_factor(name: str) -> int:
+    """10 m pixels per native pixel of ``name`` (10 m -> 1, 20 m -> 2,
+    60 m -> 6)."""
+    if name in BAND_ORDER_10M:
+        return 1
+    if name in BAND_ORDER_60M:
+        return 6
+    return 2  # 20 m bands + SCL
+
+
+def window_from_bounds(affine, bounds) -> Tuple[int, int, int, int]:
+    """World bounds (left, bottom, right, top) -> 10 m pixel window
+    (row0, row1, col0, col1) on the tile grid described by ``affine``
+    (the reference computes the same via rasterio.windows.from_bounds at
+    sentinel2raster.py:320-329)."""
+    left, bottom, right, top = bounds
+    r0, c0 = affine.world_to_pixel(left, top)
+    r1, c1 = affine.world_to_pixel(right, bottom)
+    return (int(np.floor(min(r0, r1))), int(np.ceil(max(r0, r1))),
+            int(np.floor(min(c0, c1))), int(np.ceil(max(c0, c1))))
+
+
+def read_safe_bands(safe_dir: str,
+                    window: Optional[Tuple[int, int, int, int]] = None
+                    ) -> Dict[str, np.ndarray]:
     """Read band arrays from a .SAFE product directory.
 
     Prefers pre-extracted ``<BAND>.npy`` files (portable path); falls back to
     rasterio JP2000 reads when available.
+
+    ``window`` is a 10 m-grid (row0, row1, col0, col1): only that window is
+    read — npy files are memory-mapped and sliced, rasterio reads use a
+    Window — so extracting one 1098^2 cell never decodes the full 10980^2
+    tile (reference windowed read: sentinel2raster.py:320-329). The window
+    is scaled per band resolution (20 m -> /2, 60 m -> /6), and indices must
+    be multiples of the coarsest factor present for exact alignment.
     """
+
+    def _npy_window(path, name):
+        arr = np.load(path, mmap_mode="r" if window is not None else None)
+        if window is None:
+            return np.asarray(arr)
+        f = band_factor(name)
+        r0, r1, c0, c1 = (v // f for v in window)
+        return np.ascontiguousarray(arr[..., r0:r1, c0:c1])
+
     npys = {os.path.splitext(os.path.basename(p))[0]: p
             for p in glob.glob(os.path.join(safe_dir, "**", "*.npy"),
                                recursive=True)}
     if npys:
-        return {name: np.load(path) for name, path in npys.items()
-                if name in FULL_BAND_ORDER}
+        return {name: _npy_window(path, name)
+                for name, path in npys.items() if name in FULL_BAND_ORDER}
     try:
         import rasterio
     except ImportError as err:
@@ -137,7 +177,14 @@ def read_safe_bands(safe_dir: str) -> Dict[str, np.ndarray]:
         for name in FULL_BAND_ORDER:
             if f"_{name}_" in stem or stem.endswith(f"{name}.jp2"):
                 with rasterio.open(path) as src:
-                    bands[name] = src.read(1)
+                    if window is None:
+                        bands[name] = src.read(1)
+                    else:
+                        from rasterio.windows import Window
+                        f = band_factor(name)
+                        r0, r1, c0, c1 = (v // f for v in window)
+                        bands[name] = src.read(1, window=Window(
+                            c0, r0, c1 - c0, r1 - r0))
     return bands
 
 

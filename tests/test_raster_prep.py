@@ -157,3 +157,37 @@ def test_raster_resample_and_reproject():
     # the grids don't align exactly; check gross structure: values from the
     # original populate the interior
     assert np.isin(back[2:-2, 2:-2], arr).mean() > 0.95
+
+
+def test_windowed_safe_reads(tmp_path):
+    """A windowed read touches only the requested cell: memmap-sliced npy
+    bands equal the full-decode crop, scaled per band resolution
+    (reference sentinel2raster.py:320-329)."""
+    import os
+
+    from crop2seg_tpu.gis.raster import Affine
+    from crop2seg_tpu.gis.raster_prep import (
+        read_safe_bands, window_from_bounds)
+
+    rng = np.random.default_rng(0)
+    full = {"B04": rng.integers(0, 10000, (120, 120)).astype(np.uint16),
+            "B05": rng.integers(0, 10000, (60, 60)).astype(np.uint16),
+            "B01": rng.integers(0, 10000, (20, 20)).astype(np.uint16),
+            "SCL": rng.integers(0, 12, (60, 60)).astype(np.uint8)}
+    for name, arr in full.items():
+        np.save(os.path.join(tmp_path, f"{name}.npy"), arr)
+
+    affine = Affine(10.0, 0.0, 500000.0, 0.0, -10.0, 5600000.0)
+    # a 24x36 10m cell at rows 12:36, cols 24:60 (multiples of 6)
+    bounds = (500000.0 + 24 * 10, 5600000.0 - 36 * 10,
+              500000.0 + 60 * 10, 5600000.0 - 12 * 10)
+    win = window_from_bounds(affine, bounds)
+    assert win == (12, 36, 24, 60)
+
+    got = read_safe_bands(str(tmp_path), window=win)
+    np.testing.assert_array_equal(got["B04"], full["B04"][12:36, 24:60])
+    np.testing.assert_array_equal(got["B05"], full["B05"][6:18, 12:30])
+    np.testing.assert_array_equal(got["B01"], full["B01"][2:6, 4:10])
+    np.testing.assert_array_equal(got["SCL"], full["SCL"][6:18, 12:30])
+    # windowless read still returns the full bands
+    assert read_safe_bands(str(tmp_path))["B04"].shape == (120, 120)
