@@ -57,6 +57,13 @@ class SentinelConfig:
     random_state: int = 42
     eps: float = 1e-10
 
+    def with_clouds(self, relax: int) -> "SentinelConfig":
+        """Copy with every monthly cloud cap raised by ``relax`` (capped at
+        100) — the webapp's retry-with-relaxed-clouds policy (reference
+        get_data.py:230-246)."""
+        return dataclasses.replace(
+            self, clouds=tuple(min(c + relax, 100) for c in self.clouds))
+
     @classmethod
     def from_ini(cls, path: str) -> "SentinelConfig":
         """Parse the reference config.ini format."""

@@ -29,10 +29,37 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-def create_train_state(model, variables, learning_rate: float) -> TrainState:
+def freeze_labels(params, frozen_prefixes) -> Any:
+    """Label every param leaf 'frozen' when its slash-joined module path
+    starts with any of ``frozen_prefixes`` (e.g. ("in_conv", "down") freezes
+    the spatial encoder — the reference's fine-tune intent at
+    /root/reference/train.py:400-405, shipped commented-out there)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    labels = {
+        k: ("frozen" if any("/".join(map(str, k)).startswith(p)
+                            for p in frozen_prefixes) else "train")
+        for k in flat
+    }
+    return traverse_util.unflatten_dict(labels)
+
+
+def create_train_state(model, variables, learning_rate: float,
+                       frozen_prefixes=()) -> TrainState:
     """Adam with torch defaults (betas 0.9/0.999, eps 1e-8), matching
-    reference train.py:454."""
+    reference train.py:454.
+
+    ``frozen_prefixes``: module-path prefixes whose params get zero updates
+    (optax.multi_transform + set_to_zero — the frozen leaves carry no Adam
+    moments at all). BatchNorm running stats keep updating everywhere, the
+    same semantics as torch ``requires_grad=False``.
+    """
     tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if frozen_prefixes:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            lambda params: freeze_labels(params, tuple(frozen_prefixes)))
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx,
         batch_stats=variables.get("batch_stats", {}))

@@ -130,10 +130,7 @@ def get_time_series(tile_name: str, bounds, cache_dir: str, client=None,
     for relax in relax_steps:
         try:
             if client is not None and relax:
-                client.cfg = type(client.cfg)(**{
-                    **client.cfg.__dict__,
-                    "clouds": tuple(min(c + relax, 100)
-                                    for c in client.cfg.clouds)})
+                client.cfg = client.cfg.with_clouds(relax)
             dc = DatasetCreator(out, loader=loader, for_inference=True,
                                 download=client is not None, client=client)
             dc.run_tile(tile_name, bounds=bounds)

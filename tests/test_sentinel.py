@@ -138,3 +138,14 @@ def test_fetch_time_series_buckets(tmp_path):
     assert len(res) == 2
     assert all(len(v) >= 0 for v in res.values())
     assert any("T33UVR" in u for u in sess.urls)
+
+
+def test_with_clouds_relaxation():
+    """SentinelConfig.with_clouds returns a relaxed copy (caps at 100) and
+    leaves the original untouched — the webapp retry policy (reference
+    get_data.py:230-246)."""
+    cfg = SentinelConfig(clouds=(65, 95))
+    relaxed = cfg.with_clouds(10)
+    assert relaxed.clouds == (75, 100)
+    assert cfg.clouds == (65, 95)
+    assert relaxed.dates == cfg.dates

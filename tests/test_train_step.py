@@ -188,6 +188,45 @@ def test_checkpoint_restores_opt_state(tmp_path):
                                rtol=1e-6)
 
 
+def test_freeze_layers_zero_update():
+    """create_train_state(frozen_prefixes=...): frozen leaves keep their
+    exact values across steps while the rest train (the reference's
+    fine-tune freezing intent, /root/reference/train.py:400-405, shipped
+    commented out there)."""
+    from flax import traverse_util
+
+    model, variables, batch = _model_and_batch()
+    cfg = StepConfig(num_classes=K)
+    state = create_train_state(model, variables, 1e-3,
+                               frozen_prefixes=("in_conv", "down"))
+    step = jax.jit(make_train_step(model, cfg))
+    p0 = traverse_util.flatten_dict(jax.device_get(state.params))
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    p1 = traverse_util.flatten_dict(jax.device_get(state.params))
+    changed = frozen = 0
+    for k in p0:
+        path = "/".join(map(str, k))
+        same = np.array_equal(np.asarray(p0[k]), np.asarray(p1[k]))
+        if path.startswith(("in_conv", "down")):
+            assert same, f"frozen leaf {path} changed"
+            frozen += 1
+        elif not same:
+            changed += 1
+    assert frozen > 0 and changed > 0
+    # checkpoint round-trip keeps the multi_transform opt_state structure
+    import tempfile
+    from crop2seg_tpu.learning import checkpoint as ckpt
+    with tempfile.TemporaryDirectory() as d:
+        ckpt.save_state(d, state, epoch=1, best_miou=0.1)
+        fresh = create_train_state(model, variables, 1e-3,
+                                   frozen_prefixes=("in_conv", "down"))
+        payload = ckpt.load_state(d, state=fresh)
+        want = jax.tree_util.tree_leaves(state.opt_state)
+        got = jax.tree_util.tree_leaves(payload["opt_state"])
+        assert len(want) == len(got)
+
+
 def test_bf16_train_step():
     """bf16 compute path: one step runs finite with fp32 params."""
     import jax.numpy as jnp
