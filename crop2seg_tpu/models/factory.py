@@ -48,6 +48,7 @@ def get_model(config: Mapping[str, Any] | Any):
     if name in ("timeunet", "timeunet_v1"):
         from crop2seg_tpu.models.timeunet import TimeUNet
         return TimeUNet(use_pallas=cfg.get("use_pallas", False),
+                        use_pallas_train=cfg.get("use_pallas_train", False),
                         seq_chunk=cfg.get("seq_chunk", None),
                         remat=cfg.get("remat", False), **common)
     if name == "timeunet_v2":

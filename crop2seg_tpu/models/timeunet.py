@@ -46,6 +46,10 @@ class TimeUNet(nn.Module):
     use_doy: bool = False
     add_linear: bool = False
     use_pallas: bool = False
+    # Fused custom-VJP Pallas kernel pair on the TRAINING path
+    # (nn.ltae.LTAE.use_pallas_train): the (B*16384, T, 256) embed lives only
+    # in VMEM in both directions — faster than seq_chunk, TPU only.
+    use_pallas_train: bool = False
     # Stream the full-resolution L-TAE over T in chunks of this many steps
     # (nn.ltae.LTAE.seq_chunk): makes the model TRAINABLE at B>=8 bf16 on one
     # chip by never materializing the (B*16384, T, 256) embed. The reference
@@ -86,6 +90,7 @@ class TimeUNet(nn.Module):
             use_abs_rel_enc=self.use_abs_rel_enc, num_queries=self.num_queries,
             use_doy=use_doy, add_linear=self.add_linear,
             use_pallas=self.use_pallas, seq_chunk=self.seq_chunk,
+            use_pallas_train=self.use_pallas_train,
             dtype=self.dtype, name="temporal_encoder",
         )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train,
           need_attn=return_att)

@@ -149,6 +149,14 @@ class LTAE(nn.Module):
     # Use the fused Pallas kernel (crop2seg_tpu.ops.ltae_pallas) on the
     # inference path (eval, num_queries=1). Training keeps the XLA path.
     use_pallas: bool = False
+    # Use the fused custom-VJP Pallas kernel pair (ops/ltae_pallas_train) on
+    # the TRAINING path too (nq=1, masks not consumed): forward computes the
+    # attention-pooled output with the (B*H*W, T, d_model) embed living only
+    # in VMEM; backward recomputes it per block and emits every gradient in
+    # one fused pass. The MLP/BatchNorm tail stays in XLA (train BatchNorm
+    # needs cross-row statistics). Attention dropout runs on the on-core
+    # PRNG, reproduced bit-exactly in backward from a per-step seed.
+    use_pallas_train: bool = False
     # Stream the temporal axis in chunks of this many steps through a
     # rematerialized lax.scan with an online (flash-attention-style) softmax.
     # The (B*H*W, T, d_model) embed — an ~8 GB backward residual for
@@ -249,6 +257,46 @@ class LTAE(nn.Module):
         return (out.reshape(b, hh, ww, -1),
                 None if attn is None
                 else attn.reshape(b, hh, ww, self.n_head, t))
+
+    def _fused_train(self, x: jax.Array, batch_positions: jax.Array | None,
+                     pad_mask: jax.Array | None, train: bool):
+        """Training path through the custom-VJP kernel pair
+        (ops/ltae_pallas_train.ltae_pool). The parameter folds below are
+        plain jnp, so gradients reach the raw module parameters by the
+        chain rule; the XLA _mlp_tail handles MLP/BN/dropout/out-GN."""
+        from crop2seg_tpu.ops.ltae_pallas_train import ltae_pool
+
+        b, t, hh, ww, c = x.shape
+        d_model = self.d_model
+        pe = (self._pe(batch_positions) if self.positional_encoding
+              else jnp.zeros((b, t, d_model), jnp.float32))
+        win = self.inconv.variables["params"]["kernel"]
+        b_in = self.inconv.variables["params"]["bias"]
+        win_f = win * self.in_scale[:, None]
+        bin_f = b_in + self.in_bias @ win
+        att_p = self.attention.variables["params"]
+        wk = att_p["fc1_k"]["kernel"].reshape(d_model, self.n_head, self.d_k)
+        q = att_p["query"][:, 0, :]
+        u = jnp.einsum("dgk,gk->dg", wk, q) / np.sqrt(self.d_k)
+        cs = (jnp.einsum("gk,gk->g",
+                         att_p["fc1_k"]["bias"].reshape(self.n_head, self.d_k),
+                         q) / np.sqrt(self.d_k))[None, :]
+        if pad_mask is None:
+            pad_mask = jnp.zeros((b, t), bool)
+        if train and self.attn_dropout > 0.0:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            drop_p = float(self.attn_dropout)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+            drop_p = 0.0
+        o = ltae_pool(x.reshape(b, t, hh * ww, c), pe, pad_mask,
+                      win_f, bin_f, u, cs, seed,
+                      n_head=self.n_head, drop_p=drop_p)
+        out = o.reshape(b, hh, ww, d_model)
+        out = self._mlp_tail(out[:, :, :, None, :], train)
+        return out[:, :, :, 0, :], None
 
     def _mlp_tail(self, out: jax.Array, train: bool) -> jax.Array:
         """MLP -> BN -> ReLU -> Dropout -> out GroupNorm on (B, H, W, nq, d)."""
@@ -381,6 +429,9 @@ class LTAE(nn.Module):
                 and self.d_model is not None and not self.is_initializing()):
             return self._fused(x, batch_positions, pad_mask,
                                need_attn=need_attn)
+        if (self.use_pallas_train and not need_attn and self.num_queries == 1
+                and self.d_model is not None and not self.is_initializing()):
+            return self._fused_train(x, batch_positions, pad_mask, train)
         if (self.seq_chunk and not need_attn and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
             return self._chunked(x, batch_positions, pad_mask, train)

@@ -1,0 +1,362 @@
+"""Fused masked L-TAE attention pooling with a custom VJP (training path).
+
+The reference trains the model it ships — TimeUNet_v1, whose L-TAE runs at
+full 128^2 resolution (/root/reference/src/backbones/timeunet.py:169-210,
+trained by train.py:327-328). Its projected sequence h = proj(GN(x)) + PE is
+(B*16384, T<=61, 256): an ~8 GB bf16 backward residual at B=16 that a plain
+XLA autodiff must materialize. The existing ``seq_chunk`` path (nn/ltae.py)
+streams it through a rematerialized online-softmax scan; each chunk still
+round-trips its embed through HBM twice (forward + backward recompute).
+
+This module removes the HBM round-trips entirely: a Pallas forward kernel
+computes the attention-pooled output o = sum_t softmax_t(QK^T) V per 64-row
+block with h living only in VMEM, and a Pallas backward kernel *recomputes*
+h from x for the same block and produces every gradient in one fused pass.
+HBM traffic becomes: read x twice, write o + dx, plus tiny weight-grad
+accumulators — independent of T for the big tensors.
+
+Scope: num_queries=1, attention masks not consumed (TimeUNet discards them),
+attention dropout supported via the on-core PRNG (the same per-block seed
+reproduces identical keep bits in forward and backward — nothing stored).
+The MLP+BatchNorm+ReLU+Dropout+GroupNorm tail stays in XLA: train-mode
+BatchNorm needs cross-row batch statistics, and its tensors are (N, d_out) —
+small next to the fused-away (N, T, d_model) embed.
+
+Math (per pixel row r, head group g; reference tae.py:451-504, 760-847):
+    xhat = (x - mean_{T,C/G}) * rsqrt(var + eps)        # GN, affine folded
+    h    = xhat @ Wf + bf + pe[t]                       # (T, D)
+    s    = h @ U + cs, masked -1e6 at pads              # query folded into U
+    a    = softmax_T(s);  a_d = dropout(a)              # drop AFTER softmax
+    o[d] = sum_t a_d[t, g(d)] * h[t, d]                 # head-grouped pool
+
+Backward (derived by hand, verified against jax.grad in tests):
+    p1   = sum_{d in g} go[d] h[t,d];    da = keep/(1-p) * p1
+    ds   = a * (da - sum_t a*da)                        # softmax jacobian
+    dh   = ds @ U^T + a_d_big * go
+    du   = h^T ds;  dcs = sum ds;  dbf = sum dh;  dpe = sum_rows dh
+    dWf  = xhat^T dh
+    dxhat= dh @ Wf^T
+    dx   = inv * (dxhat - m1/n - xhat * m2/n)           # GN backward
+           with m1 = sum_{T,C/G} dxhat, m2 = sum_{T,C/G} dxhat*xhat
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _grouping(n_ch: int, g: int, dt=jnp.float32):
+    """0/1 matrix (n_ch, g): S[i, j] = 1 iff channel i is in head group j.
+    Per-group sum = X @ S; per-group broadcast = V @ S.T (Mosaic cannot
+    reshape/split the lane axis, so grouped reductions ride the MXU)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_ch, g), 1)
+    return (rows // (n_ch // g) == cols).astype(dt)
+
+
+def _mm(a, b, exact: bool, out_dt=jnp.float32):
+    # precision=None inherits the global jax_default_matmul_precision and
+    # 'highest' with bf16 operands crashes the v5e Mosaic compiler — pin it.
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
+    return jnp.dot(a, b, preferred_element_type=out_dt, precision=precision)
+
+
+def _embed_block(x, mask_col, win_ref, bin_ref, pe_ref, *, g: int, eps: float,
+                 exact: bool, cdt):
+    """Shared fwd/bwd recompute: GN (two-pass, affine folded into W) ->
+    1x1 projection -> +PE. Returns (xhat (T,R,C) f32, inv_big (R,C) f32,
+    h (T,R,D) cdt, h2 (T*R, D))."""
+    t, r, c = x.shape
+    sg_c = _grouping(c, g)
+    xf = x.astype(jnp.float32)
+    cnt = float(t * (c // g))
+    sum_t = jnp.sum(xf, axis=0)                                  # (R, C)
+    mean_big = _mm(_mm(sum_t, sg_c, exact) / cnt, sg_c.T, exact)  # (R, C)
+    cen = xf - mean_big[None]                                    # (T, R, C)
+    var = jnp.maximum(
+        _mm(jnp.sum(cen * cen, axis=0), sg_c, exact) / cnt, 0.0)  # (R, G)
+    inv_big = _mm(jax.lax.rsqrt(var + eps), sg_c.T, exact)       # (R, C)
+    xhat = cen * inv_big[None]                                   # f32
+    d_model = win_ref.shape[1]
+    h = _mm(xhat.reshape(t * r, c).astype(cdt), win_ref[:].astype(cdt),
+            exact) + bin_ref[:][None]
+    h = (h.reshape(t, r, d_model) + pe_ref[0][:, None, :]).astype(cdt)
+    return xhat, inv_big, h, h.reshape(t * r, d_model)
+
+
+def _attn_weights(h2, mask_col, u_ref, cs_ref, *, t, r, g, exact, cdt):
+    """Masked softmax over T in the transpose-free (T, R, G) layout."""
+    scores = _mm(h2, u_ref[:].astype(cdt), exact) + cs_ref[:]    # (T*R, G) f32
+    scores = scores.reshape(t, r, g)
+    scores = jnp.where(mask_col[:, :, None] > 0.5, -1e6, scores)
+    smax = jnp.max(scores, axis=0, keepdims=True)
+    e = jnp.exp(scores - smax)
+    return e / jnp.sum(e, axis=0, keepdims=True)                 # (T, R, G) f32
+
+
+def _keep_mask(seed_ref, drop_p: float, shape):
+    """Deterministic per-block dropout keep mask from the on-core PRNG.
+    The same seed (folded with the grid position) reproduces identical bits
+    in the backward kernel — the mask is never stored."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+    bits = pltpu.prng_random_bits(shape)                         # uint32
+    thresh = np.uint32(int(drop_p * float(2**32)))
+    return (pltpu.bitcast(bits, jnp.uint32) >= thresh).astype(jnp.float32)
+
+
+def _fwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
+                u_ref, cs_ref, o_ref, *, n_head: int, eps: float,
+                exact: bool, drop_p: float):
+    t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    cdt = jnp.float32 if exact else x_ref.dtype
+    g = n_head
+    d_model = win_ref.shape[1]
+
+    _, _, h, h2 = _embed_block(x_ref[0], mask_ref[0], win_ref, bin_ref,
+                               pe_ref, g=g, eps=eps, exact=exact, cdt=cdt)
+    a = _attn_weights(h2, mask_ref[0], u_ref, cs_ref, t=t, r=r, g=g,
+                      exact=exact, cdt=cdt)
+    if drop_p > 0.0:
+        a = a * _keep_mask(seed_ref, drop_p, a.shape) / (1.0 - drop_p)
+    abig = _mm(a.reshape(t * r, g).astype(cdt),
+               _grouping(d_model, g, cdt).T, exact).astype(cdt)
+    # widening jnp.sum(bf16, dtype=f32) crashes Mosaic on v5e: cast first
+    o = jnp.sum((abig * h2).reshape(t, r, d_model).astype(jnp.float32),
+                axis=0)                                          # (R, D) f32
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
+                u_ref, cs_ref, go_ref,
+                dx_ref, dpe_ref, dwin_ref, dbin_ref, du_ref, dcs_ref,
+                *, n_head: int, eps: float, exact: bool, drop_p: float):
+    t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    cdt = jnp.float32 if exact else x_ref.dtype
+    g = n_head
+    d_model = win_ref.shape[1]
+    i, j = pl.program_id(0), pl.program_id(1)
+    sg_c = _grouping(c, g)
+    sg_d = _grouping(d_model, g)
+
+    xhat, inv_big, h, h2 = _embed_block(
+        x_ref[0], mask_ref[0], win_ref, bin_ref, pe_ref,
+        g=g, eps=eps, exact=exact, cdt=cdt)
+    a = _attn_weights(h2, mask_ref[0], u_ref, cs_ref, t=t, r=r, g=g,
+                      exact=exact, cdt=cdt)
+    if drop_p > 0.0:
+        keep_sc = _keep_mask(seed_ref, drop_p, a.shape) / (1.0 - drop_p)
+        a_d = a * keep_sc
+    else:
+        keep_sc = None
+        a_d = a
+
+    go = go_ref[0].astype(jnp.float32)                           # (R, D)
+    hf = h.reshape(t, r, d_model).astype(jnp.float32)
+
+    # dL/da (post-dropout chain): p1[t,r,g] = sum_{d in g} go[r,d] h[t,r,d]
+    prod = (go[None] * hf).reshape(t * r, d_model)
+    p1 = _mm(prod, sg_d, exact).reshape(t, r, g)
+    da = p1 * keep_sc if keep_sc is not None else p1
+    # softmax jacobian over T (a of MASKED rows is ~0 -> ds ~0 there)
+    ds = a * (da - jnp.sum(a * da, axis=0, keepdims=True))       # (T, R, G)
+
+    ds2 = ds.reshape(t * r, g)
+    # dh = ds @ U^T (score path) + a_d_big * go (value path)
+    abig = _mm(a_d.reshape(t * r, g), sg_d.T, exact)             # (T*R, D)
+    dh = (_mm(ds2, u_ref[:].astype(jnp.float32).T, exact)
+          + abig * jnp.broadcast_to(go[None], (t, r, d_model)
+                                    ).reshape(t * r, d_model))    # f32
+
+    # --- parameter/PE grads (accumulated across grid steps in VMEM) --------
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_global():
+        dwin_ref[:] = jnp.zeros_like(dwin_ref)
+        dbin_ref[:] = jnp.zeros_like(dbin_ref)
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dcs_ref[:] = jnp.zeros_like(dcs_ref)
+
+    @pl.when(j == 0)
+    def _init_pe():
+        dpe_ref[:] = jnp.zeros_like(dpe_ref)
+
+    du_ref[:] += _mm(h2.astype(jnp.float32).T, ds2, exact)       # (D, G)
+    dcs_ref[:] += jnp.sum(ds2, axis=0, keepdims=True)            # (1, G)
+    dbin_ref[:] += jnp.sum(dh, axis=0, keepdims=True)            # (1, D)
+    dpe_ref[0] += jnp.sum(dh.reshape(t, r, d_model), axis=1)     # (T, D)
+    dwin_ref[:] += _mm(xhat.reshape(t * r, c).astype(cdt).T,
+                       dh.astype(cdt), exact)                    # (C, D)
+
+    # --- GroupNorm backward -------------------------------------------------
+    dxhat = _mm(dh.astype(cdt), win_ref[:].astype(cdt).T,
+                exact).reshape(t, r, c)                          # f32
+    n = float(t * (c // g))
+    m1 = _mm(jnp.sum(dxhat, axis=0), sg_c, exact) / n            # (R, G)
+    m2 = _mm(jnp.sum(dxhat * xhat, axis=0), sg_c, exact) / n     # (R, G)
+    corr = (dxhat - _mm(m1, sg_c.T, exact)[None]
+            - xhat * _mm(m2, sg_c.T, exact)[None])
+    dx_ref[0] = (corr * inv_big[None]).astype(dx_ref.dtype)
+
+
+def _interpret_default() -> bool:
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    return getattr(dev, "platform", "cpu") not in ("tpu", "axon")
+
+
+def _pick_block(n: int, want: int) -> int:
+    r = min(want, n)
+    while n % r:
+        r //= 2
+    return r
+
+
+def _specs(b, t, n, r, c, d_model, g):
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def vec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, t, r, c), lambda i, j: (i, 0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, 1), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        vec(), vec(), vec(), vec(),
+    ]
+    return seed_spec, in_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def ltae_pool(x, pe, pad_mask, win_f, bin_f, u, cs, seed,
+              n_head: int = 16, drop_p: float = 0.0,
+              interpret: Optional[bool] = None):
+    """Fused masked-attention pooling o = sum_t softmax(h U + cs) h with
+    h = GN(x) @ win_f + bin_f + pe, differentiable via fused Pallas kernels.
+
+    x: TIME-MAJOR (B, T, N, C); pe: (B, T, D) fp32; pad_mask: (B, T) bool;
+    win_f: (C, D) with the GN affine folded in; u: (D, G) with the learnable
+    query folded into the key projection; cs: (1, G); seed: int32 array (1,)
+    dropout seed (a traced input — a fresh per-step seed must not trigger a
+    recompile).
+    Returns o: (B, N, D) in x.dtype. All folds are plain jnp outside, so
+    grads flow to the raw module parameters by the chain rule.
+    """
+    o, _ = _ltae_pool_fwd(x, pe, pad_mask, win_f, bin_f, u, cs, seed,
+                          n_head, drop_p, interpret)
+    return o
+
+
+def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
+             interpret, exact):
+    b, t, n, c = x.shape
+    d_model = win_f.shape[1]
+    r = _pick_block(n, 32 if exact else 64)
+    seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
+    kernel = functools.partial(_fwd_kernel, n_head=n_head, eps=1e-5,
+                               exact=exact, drop_p=drop_p)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // r),
+        in_specs=[seed_spec] + in_specs,
+        out_specs=pl.BlockSpec((1, r, d_model), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d_model), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
+      mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
+      cs.astype(jnp.float32))
+
+
+def _ltae_pool_fwd(x, pe, pad_mask, win_f, bin_f, u, cs, seed,
+                   n_head, drop_p, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    exact = x.dtype == jnp.float32
+    mask_f = pad_mask.astype(jnp.float32)[:, :, None]            # (B, T, 1)
+    o = _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
+                 interpret, exact)
+    return o, (x, pe, mask_f, win_f, bin_f, u, cs, seed)
+
+
+def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
+    x, pe, mask_f, win_f, bin_f, u, cs, seed = res
+    if interpret is None:
+        interpret = _interpret_default()
+    exact = x.dtype == jnp.float32
+    b, t, n, c = x.shape
+    d_model = win_f.shape[1]
+    r = _pick_block(n, 32 if exact else 64)
+    seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
+    in_specs.append(pl.BlockSpec((1, r, d_model), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM))
+    kernel = functools.partial(_bwd_kernel, n_head=n_head, eps=1e-5,
+                               exact=exact, drop_p=drop_p)
+    out_specs = [
+        pl.BlockSpec((1, t, r, c), lambda i, j: (i, 0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, d_model), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_model), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_model, n_head), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_head), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((b, t, d_model), jnp.float32),
+        jax.ShapeDtypeStruct((c, d_model), jnp.float32),
+        jax.ShapeDtypeStruct((1, d_model), jnp.float32),
+        jax.ShapeDtypeStruct((d_model, n_head), jnp.float32),
+        jax.ShapeDtypeStruct((1, n_head), jnp.float32),
+    ]
+    dx, dpe, dwin, dbin, du, dcs = pl.pallas_call(
+        kernel,
+        grid=(b, n // r),
+        in_specs=[seed_spec] + in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
+      mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
+      cs.astype(jnp.float32), go)
+    return (dx, dpe.astype(pe.dtype), None, dwin.astype(win_f.dtype),
+            dbin[0].astype(bin_f.dtype), du.astype(u.dtype),
+            dcs.astype(cs.dtype), None)
+
+
+ltae_pool.defvjp(_ltae_pool_fwd, _ltae_pool_bwd)
+
+
+def ltae_pool_reference(x, pe, pad_mask, win_f, bin_f, u, cs,
+                        n_head: int = 16):
+    """Pure-XLA oracle of the same math (no dropout) for grad-parity tests."""
+    b, t, n, c = x.shape
+    g = n_head
+    cg = c // g
+    xf = x.astype(jnp.float32).reshape(b, t, n, g, cg)
+    mean = jnp.mean(xf, axis=(1, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 4), keepdims=True)
+    xhat = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(b, t, n, c)
+    h = (xhat.astype(x.dtype) @ win_f + bin_f
+         + pe[:, :, None, :].astype(x.dtype)).astype(jnp.float32)
+    s = jnp.einsum("btnd,dg->btng", h, u.astype(jnp.float32)) + cs[None, None]
+    s = jnp.where(pad_mask[:, :, None, None], -1e6, s)
+    a = jax.nn.softmax(s, axis=1)                                # (B,T,N,G)
+    d_model = win_f.shape[1]
+    dv = d_model // g
+    hv = h.reshape(b, t, n, g, dv)
+    o = jnp.einsum("btng,btngd->bngd", a, hv).reshape(b, n, d_model)
+    return o.astype(x.dtype)

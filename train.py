@@ -104,6 +104,11 @@ parser.add_argument("--use_pallas", default="auto", type=str,
                          "path (training always takes the XLA path; the "
                          "kernel is forward-only). 'auto' = on when the run "
                          "executes on a TPU backend")
+parser.add_argument("--use_pallas_train", action="store_true",
+                    help="fused custom-VJP Pallas L-TAE kernels on the "
+                         "TRAINING path (TimeUNet only, TPU only): forward "
+                         "and backward keep the (B*H*W, T, d_model) embed "
+                         "in VMEM — faster and leaner than --seq_chunk")
 parser.add_argument("--seq_chunk", default=None, type=int,
                     help="stream the full-resolution L-TAE over T in chunks "
                          "of this many steps (TimeUNet only): a "
@@ -111,6 +116,12 @@ parser.add_argument("--seq_chunk", default=None, type=int,
                          "TimeUNet trainable at B>=8 bf16 on one chip "
                          "(nn/ltae.py seq_chunk)")
 parser.add_argument("--synthetic_patches", default=12, type=int)
+parser.add_argument("--freeze_layers", default=None, type=str,
+                    help="comma-separated module-path prefixes to freeze "
+                         "during (fine-)tuning, e.g. 'in_conv,down' freezes "
+                         "the spatial encoder (the reference sketches this "
+                         "at train.py:400-405 but ships it commented out; "
+                         "here it is real via optax.multi_transform)")
 parser.add_argument("--use_weighted_sampling", action="store_true",
                     help="weighted random sampling with replacement from the "
                          "metadata 'weight' column (the reference builds this "
@@ -382,7 +393,18 @@ def main(config):
         class_weights=tuple(weights), label_smoothing=config.label_smoothing,
         add_boundary_loss=config.add_boundary_loss,
         test_region="all")
-    state = create_train_state(model, variables, config.lr)
+    frozen = tuple(p.strip() for p in (config.freeze_layers or "").split(",")
+                   if p.strip())
+    if frozen:
+        from crop2seg_tpu.learning.trainer import freeze_labels
+        from flax import traverse_util
+        labels = traverse_util.flatten_dict(
+            freeze_labels(variables["params"], frozen))
+        n_frozen = sum(1 for v in labels.values() if v == "frozen")
+        logging.info("freezing %d/%d param leaves (prefixes: %s)",
+                     n_frozen, len(labels), ", ".join(frozen))
+    state = create_train_state(model, variables, config.lr,
+                               frozen_prefixes=frozen)
     if resume_opt_dir is not None:
         # Restore the Adam moments too (checkpoint.save_state stores them).
         # The reference drops optimizer state on resume (train.py:459-460
