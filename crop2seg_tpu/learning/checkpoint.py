@@ -87,18 +87,40 @@ def overall_performance(res_dir: str, cm: np.ndarray, region: str = "all",
 
 # --- orbax state checkpointing --------------------------------------------
 
-def save_state(fold_dir: str, state, epoch: int, best_miou: float) -> None:
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(os.path.join(fold_dir, "model.ckpt"))
-    payload = {
+def _payload(state, epoch: int, best_miou: float) -> Dict[str, Any]:
+    return {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats) or {},
         "opt_state": jax.device_get(state.opt_state),
         "meta": {"epoch": epoch, "best_mIoU": float(best_miou)},
     }
+
+
+def save_state(fold_dir: str, state, epoch: int, best_miou: float) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(fold_dir, "model.ckpt"))
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, _payload(state, epoch, best_miou), force=True)
+
+
+def _resolve_state_path(fold_dir: str) -> Optional[str]:
+    """``model.ckpt`` (dir or symlink) wins; fall back to the best entry of
+    ``best_ckpt.json`` written by StateCheckpointer on symlink-less FSes."""
+    path = os.path.abspath(os.path.join(fold_dir, "model.ckpt"))
+    if os.path.exists(path):
+        return os.path.realpath(path)
+    index = os.path.join(fold_dir, "best_ckpt.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            entries = json.load(f)
+        if entries:
+            return entries[0]["path"]
+    return None
+
+
+def has_state(fold_dir: str) -> bool:
+    return _resolve_state_path(fold_dir) is not None
 
 
 def load_state(fold_dir: str, state=None):
@@ -106,17 +128,93 @@ def load_state(fold_dir: str, state=None):
     with matching structure."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(os.path.join(fold_dir, "model.ckpt"))
+    path = _resolve_state_path(fold_dir)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint under {fold_dir}")
     ckptr = ocp.PyTreeCheckpointer()
     if state is None:
         return ckptr.restore(path)
-    template = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats) or {},
-        "opt_state": jax.device_get(state.opt_state),
-        "meta": {"epoch": 0, "best_mIoU": 0.0},
-    }
+    template = _payload(state, 0, 0.0)
     return ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
+
+
+class StateCheckpointer:
+    """Async best-k orbax checkpointing.
+
+    The reference persists a single synchronous ``model.pth.tar`` on every
+    val improvement (/root/reference/train.py:529-541), stalling the train
+    loop for the serialization. Here each improving epoch is written by an
+    ``ocp.AsyncCheckpointer`` (the host thread returns as soon as the arrays
+    are snapshotted off-device), only the ``keep`` best epochs by val mIoU
+    are retained on disk, and ``model.ckpt`` is kept pointing at the best
+    one so :func:`load_state` / resume / the webapp loader are unchanged.
+    """
+
+    def __init__(self, fold_dir: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        if keep < 1:
+            raise ValueError(f"keep must be >= 1, got {keep}")
+        self.fold_dir = fold_dir
+        self.keep = keep
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        # (miou, epoch, path), best first; epoch breaks ties toward newest.
+        # A resumed run re-adopts the previous run's retained checkpoints so
+        # retention keeps spanning the whole training history.
+        self._saved = []
+        index = os.path.join(fold_dir, "best_ckpt.json")
+        if os.path.exists(index):
+            with open(index) as f:
+                self._saved = [(e["mIoU"], e["epoch"], e["path"])
+                               for e in json.load(f)
+                               if os.path.exists(e["path"])]
+
+    def save(self, state, epoch: int, miou: float) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.fold_dir, f"ckpt_e{epoch:04d}"))
+        self._ckptr.save(path, args=ocp.args.PyTreeSave(
+            _payload(state, epoch, miou)), force=True)
+        self._saved.append((float(miou), epoch, path))
+        self._saved.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        if len(self._saved) > self.keep:
+            # deleting may race an in-flight write of the same run; drain
+            # first (prunes are rare — only after keep+1 improvements)
+            self._ckptr.wait_until_finished()
+            for _, _, stale in self._saved[self.keep:]:
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+            self._saved = self._saved[:self.keep]
+        self._point_at_best()
+        return path
+
+    def _point_at_best(self) -> None:
+        best = self._saved[0][2]
+        link = os.path.join(self.fold_dir, "model.ckpt")
+        try:
+            if os.path.islink(link) or os.path.exists(link):
+                if os.path.islink(link):
+                    os.unlink(link)
+                else:  # a real dir from a legacy save_state run
+                    import shutil
+
+                    shutil.rmtree(link)
+            os.symlink(best, link)
+        except OSError:
+            pass  # FS without symlinks: best_ckpt.json below is the pointer
+        with open(os.path.join(self.fold_dir, "best_ckpt.json"), "w") as f:
+            json.dump([{"mIoU": m, "epoch": e, "path": p}
+                       for m, e, p in self._saved], f, indent=2)
+
+    def wait(self) -> None:
+        """Block until every queued save is durable (call before reloading
+        the best checkpoint or exiting the process)."""
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
 
 
 def load_torch_checkpoint(path: str, model_name: str, **kwargs):

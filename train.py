@@ -80,6 +80,9 @@ parser.add_argument("--label_smoothing", default=0.0, type=float)
 parser.add_argument("--val_every", default=1, type=int)
 parser.add_argument("--val_after", default=0, type=int)
 # TPU-native additions
+parser.add_argument("--keep_ckpts", default=3, type=int,
+                    help="retain the k best val-mIoU checkpoints "
+                         "(async orbax writes; model.ckpt tracks the best)")
 parser.add_argument("--t_buckets", default="[32,48,61]", type=str,
                     help="fixed temporal pad buckets (one compile per bucket)")
 parser.add_argument("--bf16", action="store_true",
@@ -339,9 +342,7 @@ def main(config):
     if config.weight_folder:
         torch_path = os.path.join(config.weight_folder, f"Fold_{fold}",
                                   "model.pth.tar")
-        orbax_path = os.path.join(config.weight_folder, f"Fold_{fold}",
-                                  "model.ckpt")
-        if os.path.exists(orbax_path):
+        if ckpt.has_state(os.path.join(config.weight_folder, f"Fold_{fold}")):
             payload = ckpt.load_state(os.path.join(config.weight_folder,
                                                    f"Fold_{fold}"))
             loaded = {"params": payload["params"],
@@ -447,6 +448,7 @@ def main(config):
         make_train_batch = make_eval_batch = to_device_batch
 
     if not is_test_run:
+        ckptr = ckpt.StateCheckpointer(fold_dir, keep=config.keep_ckpts)
         for epoch in range(start_epoch, config.epochs + 1):
             logging.info("EPOCH %d/%d", epoch, config.epochs)
             rng, erng = jax.random.split(rng)
@@ -473,13 +475,14 @@ def main(config):
                 ckpt.checkpoint_log(fold_dir, trainlog)
                 if val_metrics["val_IoU"] >= best_miou:
                     best_miou = val_metrics["val_IoU"]
-                    ckpt.save_state(fold_dir, state, epoch, best_miou)
+                    ckptr.save(state, epoch, best_miou)
             else:
                 trainlog[epoch] = dict(train_metrics)
                 ckpt.checkpoint_log(fold_dir, trainlog)
+        ckptr.wait()  # drain async writes before reading the best back
         # reload best (if this run saved one; a resumed run that added no
         # val-improving epoch keeps the restored weights)
-        if os.path.exists(os.path.join(fold_dir, "model.ckpt")):
+        if ckpt.has_state(fold_dir):
             payload = ckpt.load_state(fold_dir)
             state = state.replace(params=payload["params"],
                                   batch_stats=payload.get("batch_stats", {}))
