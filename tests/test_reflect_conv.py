@@ -1,0 +1,86 @@
+"""Decomposed reflect-pad conv == materialized reflect-pad conv, exactly.
+
+Conv2d's k3/s1/p1 reflect path avoids the full-tensor padded copy (a ~10.6 ms
+HBM pass on the 488-frame flagship in_conv chain, measured v5e) by running an
+implicit-zero conv and recomputing only the 1-pixel edge rows/cols from
+reflect-padded strips. The math must be identical to
+torch.nn.Conv2d(padding_mode='reflect') == reflect-pad + VALID conv
+(/root/reference/src/backbones/conv.py:70-80). Fast CPU test.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crop2seg_tpu.nn.layers import Conv2d, spatial_pad
+
+
+def _reference_apply(params, x, features, use_bias=True):
+    """Materialized reflect pad + VALID conv with the same kernel."""
+    k = params["conv"]["kernel"]
+    xp = spatial_pad(x, 1, "reflect")
+    dn = jax.lax.conv_dimension_numbers(xp.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(xp, k, (1, 1), "VALID",
+                                     dimension_numbers=dn)
+    if use_bias:
+        y = y + params["conv"]["bias"]
+    return y
+
+
+@pytest.mark.parametrize("hw", [(2, 2), (2, 5), (5, 2), (7, 7), (16, 24)])
+def test_exact_vs_materialized_pad(hw):
+    h, w = hw
+    m = Conv2d(features=6, kernel_size=3, stride=1, padding=1,
+               padding_mode="reflect")
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, h, w, 4), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x)
+    got = m.apply(v, x)
+    want = _reference_apply(v["params"], x, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_param_path_unchanged():
+    """Checkpoint compatibility: the decomposed path keeps conv/kernel+bias
+    with nn.Conv's HWIO layout (torch_convert + goldens depend on it)."""
+    m = Conv2d(features=6, padding_mode="reflect")
+    x = jnp.zeros((1, 8, 8, 4))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert set(v["params"]["conv"]) == {"kernel", "bias"}
+    assert v["params"]["conv"]["kernel"].shape == (3, 3, 4, 6)
+    # the fallback (materialized) path at k=4 uses the same naming
+    m2 = Conv2d(features=6, kernel_size=4, stride=2, padding=1,
+                padding_mode="reflect")
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert set(v2["params"]["conv"]) == {"kernel", "bias"}
+
+
+def test_gradients_match():
+    m = Conv2d(features=5, padding_mode="reflect")
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 9, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(3), x)
+
+    def loss_fast(v, x):
+        return (m.apply(v, x) ** 2).sum()
+
+    def loss_ref(v, x):
+        return (_reference_apply(v["params"], x, 5) ** 2).sum()
+
+    gv_a, gx_a = jax.grad(loss_fast, argnums=(0, 1))(v, x)
+    gv_b, gx_b = jax.grad(loss_ref, argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gv_a),
+                    jax.tree_util.tree_leaves(gv_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_dtype():
+    m = Conv2d(features=8, padding_mode="reflect", dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 4), jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(5), x)
+    y = m.apply(v, x)
+    assert y.dtype == jnp.bfloat16 and np.isfinite(
+        np.asarray(y, np.float32)).all()
