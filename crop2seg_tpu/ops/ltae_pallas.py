@@ -13,20 +13,31 @@ block of rows: HBM traffic becomes read x once + write out (N, d_out)
 [+ attn (N, heads, T) only when the caller consumes it], a ~10x reduction for
 the bandwidth-bound TimeUNet full-resolution case (N = B*16384).
 
-Design notes (v2 — the v1 kernel was correct but prototype-slow):
+Design notes (v3; v2 was correct but compute-bound at ~2x the DMA floor —
+a cached-input probe showed the 13 ms HBM stream fully hidden behind 27 ms
+of compute, ~8 ms of it a softmax running on 16 of 128 lanes):
 - input is TIME-MAJOR (B, T, N, C), a free reshape of the model's natural
   (B, T, H, W, C) layout, so no HBM transpose feeds the kernel;
-- the learnable query is contracted into the key projection offline:
-  scores = h @ U + c with U[:, g] = W_k[:, g*d_k:(g+1)*d_k] @ q[g] / sqrt(d_k)
-  — exact (linear algebra), removes the whole K tensor;
+- the learnable query is contracted into the key projection offline
+  (U[:, g] = W_k[:, g*d_k:(g+1)*d_k] @ q[g] / sqrt(d_k)) and U is folded
+  on through the input projection: scores = xn @ (Win@U) + (bin + pe)@U + cs
+  — exact linear algebra, removes both the K tensor and the per-block
+  (T*R, D)@(D, G) matmul;
+- the pad mask is folded into the per-(b, t) score bias as an additive
+  -1e6 (exp underflows to exactly 0, same result as masked_fill);
 - the in-GroupNorm affine is folded into W_in, eval BatchNorm into the MLP;
 - matmuls run in the input dtype (bf16 on the inference path) with fp32
   accumulation on the MXU; GroupNorm statistics and the softmax are fp32;
-- one flat grid over row blocks of 64-128 (v1 used 16-row blocks in 8192
-  sequential steps); Pallas double-buffers the block DMAs automatically;
+- the softmax runs in the (G, T, R) layout — R=128 row-blocks fill the lane
+  axis (the earlier (T, R, G) layout lit only G=16 of 128 lanes, 8x VPU
+  waste) — with sublane reductions over T, then one rank-3 transpose back;
+- one flat grid over row blocks of 128; Pallas double-buffers the block
+  DMAs automatically; blocks narrower than 128 lanes fall back to the
+  (T, R, G) softmax (the (G, T, R) dot_general crashes Mosaic there);
 - Mosaic cannot reshape/split the lane (last) axis, so grouped reductions
-  and broadcasts go through tiny 0/1 matrices on the MXU, and the softmax
-  runs with T on the lane axis.
+  and broadcasts go through tiny 0/1 matrices on the MXU.
+Measured (v5e, B=8, N=16384, T=61, C=64): v2 28.1 ms -> v3 21.2 ms; the
+TimeUNet B=8 forward 47.5 -> 38.9 ms with the decomposed reflect convs.
 
 Scope: inference path (eval mode: dropout off, BatchNorm folded into the MLP
 matmul) with num_queries=1. Training keeps the XLA path (autodiff).
@@ -43,8 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, pe_ref, mask_ref,
-            win_ref, bin_ref, u_ref, cs_ref, wm_ref, bm_ref,
+def _kernel(x_ref, pe_ref,
+            win_ref, bin_ref, ws_ref, pes_ref, wm_ref, bm_ref,
             out_scale_ref, out_bias_ref,
             out_ref, attn_ref, *, n_head: int, eps: float, exact: bool):
     t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
@@ -74,7 +85,6 @@ def _kernel(x_ref, pe_ref, mask_ref,
     sg_c = grouping(c)
     sg_o = grouping(d_out)
 
-    mask_col = mask_ref[0]                                 # (T, 1)
     x = x_ref[0]                                           # (T, R, C)
     xf = x.astype(jnp.float32)
     # --- GroupNorm over (T, C/G) per row (torch GroupNorm((N, C, T))) ------
@@ -100,19 +110,41 @@ def _kernel(x_ref, pe_ref, mask_ref,
          + pe_ref[0][:, None, :]).astype(cdt)              # (T, R, D)
     h2 = h.reshape(t * r, d_model)
 
-    # --- scores (query pre-contracted into U) + masked softmax over T ------
-    # single-pass bf16 matmul with fp32 accumulation; the softmax itself is
-    # fp32. The softmax runs in the (T, R, G) layout with axis-0 reductions: NO
-    # swapaxes. The previous (R*G, T)-lanes layout needed two relayouts and
-    # on v5e leaked garbage into max/sum for rare row alignments (whole-row
-    # NaNs, deterministic, ~1e-4 of rows) — a Mosaic relayout bug this
-    # transpose-free form sidesteps.
-    scores = mm(h2, u_ref[:].astype(cdt)) + cs_ref[:]      # (T*R, G) fp32
-    scores = scores.reshape(t, r, g)
-    scores = jnp.where(mask_col[:, :, None] > 0.5, -1e6, scores)
-    smax = jnp.max(scores, axis=0, keepdims=True)
-    e = jnp.exp(scores - smax)
-    a_trg = e / jnp.sum(e, axis=0, keepdims=True)          # (T, R, G) fp32
+    # --- scores + masked softmax over T ------------------------------------
+    # The query was contracted into the key projection (U = Wk q / sqrt(dk))
+    # and U is folded all the way through the input projection offline:
+    #   scores = h@U + cs = xn@(Win@U) + (bin + pe)@U + cs = xn@Ws + pes[t]
+    # so the kernel never runs the (T*R, D)@(D, G) matmul — only a
+    # (C, G)-weight one. The pad mask is folded into pes as an additive
+    # -1e6 (exp underflows to exactly 0 either way), killing the where pass
+    # and the mask input. The softmax runs in the (G, T, R) layout — R=128
+    # fills the lane axis (the previous (T, R, G) layout lit only G=16 of
+    # 128 lanes: 8x VPU waste, ~8 of the kernel's 26 ms) — with axis-1
+    # (sublane) reductions, then ONE rank-3 transpose back to (T, R, G)
+    # for the weighted sum. The dot_general emits (G, T, R) directly; no
+    # lane-axis split/merge anywhere (Mosaic cannot reshape lanes).
+    if r % 128 == 0:
+        scores = jax.lax.dot_general(
+            ws_ref[:].astype(cdt), xn, (((0,), (2,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST if exact
+                       else jax.lax.Precision.DEFAULT),
+            preferred_element_type=jnp.float32)            # (G, T, R) fp32
+        scores = scores + pes_ref[0][:, :, None]           # += (G, T, 1)
+        smax = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - smax)
+        a_gtr = e / jnp.sum(e, axis=1, keepdims=True)      # (G, T, R) fp32
+        a_trg = jnp.transpose(a_gtr, (1, 2, 0))            # (T, R, G) fp32
+    else:
+        # narrow blocks (< 128 lanes) crash Mosaic on the (G, T, R)
+        # dot_general; keep the (T, R, G)-layout softmax for them (slower
+        # but these are small-N eval shapes, not the flagship path)
+        a_gtr = None
+        scores = (mm(xn.reshape(t * r, c), ws_ref[:].astype(cdt))
+                  .reshape(t, r, g)
+                  + jnp.transpose(pes_ref[0])[:, None, :])  # (T, R, G) fp32
+        smax = jnp.max(scores, axis=0, keepdims=True)
+        e = jnp.exp(scores - smax)
+        a_trg = e / jnp.sum(e, axis=0, keepdims=True)      # (T, R, G) fp32
 
     # --- head-grouped weighted sum over T -----------------------------------
     # broadcast each head's weight over its d_v channels via S.T, then sum T.
@@ -139,7 +171,12 @@ def _kernel(x_ref, pe_ref, mask_ref,
                   + out_bias_ref[:][None]).astype(out_ref.dtype)
     if attn_ref is not None:
         # one relayout, only on the need_attn path (TimeUNet skips it)
-        attn_ref[0] = jnp.transpose(a_trg, (1, 2, 0)).astype(attn_ref.dtype)
+        if a_gtr is not None:
+            attn_ref[0] = jnp.transpose(a_gtr, (2, 0, 1)).astype(
+                attn_ref.dtype)
+        else:
+            attn_ref[0] = jnp.transpose(a_trg, (1, 2, 0)).astype(
+                attn_ref.dtype)
 
 
 def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
@@ -151,10 +188,11 @@ def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
 
 def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        params: Dict[str, jax.Array], *, n_head: int = 16,
-                       d_k: int = 4, row_block: int = 64,
+                       d_k: int = 4, row_block: int = 128,
                        eps: float = 1e-5, need_attn: bool = True,
                        exact: Optional[bool] = None,
-                       interpret: Optional[bool] = None):
+                       interpret: Optional[bool] = None,
+                       vmem_limit_mb: Optional[int] = None):
     """Fused L-TAE forward.
 
     x: TIME-MAJOR (B, T, N, C) rows (N = H*W — a free reshape of the model's
@@ -192,11 +230,17 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     u = jnp.einsum("dgk,gk->dg", wk, params["q"]) / np.sqrt(d_k)
     cs = (jnp.einsum("gk,gk->g", params["bk"].reshape(n_head, d_k),
                      params["q"]) / np.sqrt(d_k))[None, :]
-
-    # (B, T, 1): T on sublanes — the kernel broadcasts the mask over the
-    # (T, R, G) score layout, and moving T off the lane axis inside the
-    # kernel would be an unsupported Mosaic lane reshape.
-    mask_f = pad_mask.astype(jnp.float32)[:, :, None]      # (B, T, 1)
+    # ... and U folded through the input projection + PE (all fp32, offline):
+    # scores = h@U + cs = xn@(Win@U) + (bin + pe[t])@U + cs = xn@Ws + pes[t],
+    # with the pad mask folded in additively (-1e6 biases exp to exactly 0,
+    # same as the reference's masked_fill at tae.py:829-831) and the (g, t)
+    # layout pre-transposed so the kernel's (G, T, R) scores broadcast it
+    # without any in-kernel relayout.
+    ws = win.astype(jnp.float32) @ u
+    pes = (jnp.einsum("btd,dg->btg", pe.astype(jnp.float32), u)
+           + (bin_.astype(jnp.float32) @ u)[None, None] + cs[None])
+    pes = pes - 1e6 * pad_mask.astype(jnp.float32)[:, :, None]
+    pes = jnp.swapaxes(pes, 1, 2)                          # (B, G, T)
 
     kernel = functools.partial(_kernel, n_head=n_head, eps=eps, exact=exact)
 
@@ -208,9 +252,10 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, 1), lambda i, j: (i, 0, 0),
+        vec(), vec(), vec(),
+        pl.BlockSpec((1, n_head, t), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        vec(), vec(), vec(), vec(), vec(), vec(), vec(), vec(),
+        vec(), vec(), vec(), vec(),
     ]
     out_specs = [pl.BlockSpec((1, r, d_out), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)]
@@ -223,6 +268,10 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     else:
         kernel = functools.partial(kernel, attn_ref=None)
 
+    kw = {}
+    if vmem_limit_mb is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
     res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -230,8 +279,9 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(x, pe.astype(jnp.float32), mask_f,
-      win, bin_.astype(jnp.float32), u.astype(jnp.float32), cs,
+        **kw,
+    )(x, pe.astype(jnp.float32),
+      win, bin_.astype(jnp.float32), ws, pes,
       params["wm_folded"], params["bm_folded"].astype(jnp.float32),
       params["out_scale"], params["out_bias"])
     if need_attn:
