@@ -153,12 +153,33 @@ def _ensure_bench_cell(folder=BENCH_CELL):
         json.dump(records, f)
 
 
+def bench_uplink():
+    """Host->device relay bandwidth (MB/s). On this harness the TPU sits
+    behind the axon tunnel at ~48 MB/s regardless of dtype (measured bf16 /
+    u16 / f32 alike), which hard-caps any from-disk pipeline at
+    uplink / bytes-per-patch — for (61, 10, 128^2) bf16 patches (20 MB)
+    that is ~2.4 patches/s. A real TPU host feeds HBM over PCIe (GB/s), so
+    the same code is decode-bound there (~92 p/s native loader). Reported
+    so the e2e number is interpretable against its environment ceiling."""
+    a = np.random.default_rng(0).integers(0, 10000, (52428800,), np.uint16)
+    f = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32), axis=0)[None])
+    np.asarray(f(jnp.asarray(a)))
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(f(jnp.asarray(a)))
+        best = min(best, time.perf_counter() - t0)
+    return a.nbytes / 1e6 / best
+
+
 def bench_disk_to_map(model, variables):
     """Honest end-to-end whole-tile rate: npy archives on DISK -> native
     decode (planar bf16, recycled buffers) overlapped with the chip ->
     host-stitched 1098^2 class map (stream_tile_inference). This is the
     number a webapp user sees (reference pipeline:
-    /root/reference/src/webapp/prediction.py:253-355)."""
+    /root/reference/src/webapp/prediction.py:253-355). NOTE: on this
+    harness the rate is relay-uplink-bound (see bench_uplink), not
+    compute- or decode-bound."""
     from crop2seg_tpu.data import S2TSCZCropDataset
     from crop2seg_tpu.webapp.pipeline import stream_tile_inference
 
@@ -245,6 +266,11 @@ def main():
     tile_pps = max(bench_whole_tile(model, variables, dates, pad_mask)
                    for _ in range(2))
     print(f"# tile {tile_pps:.2f} p/s", file=sys.stderr)
+    uplink = bench_uplink()
+    patch_mb = T * C * H * W * 2 / 1e6
+    uplink_cap = uplink / patch_mb
+    print(f"# uplink {uplink:.0f} MB/s (caps disk->map at "
+          f"{uplink_cap:.2f} p/s on this harness)", file=sys.stderr)
     e2e_pps = bench_disk_to_map(model, variables)
     print(f"# disk->map {e2e_pps:.2f} p/s", file=sys.stderr)
     fwd_pps = max(bench_forward(model, variables, dates, pad_mask)
@@ -270,6 +296,8 @@ def main():
         "unit": "patches/sec/chip",
         "vs_baseline": round(tile_pps / REFERENCE_PATCHES_PER_SEC, 1),
         "e2e_disk_to_map_patches_per_sec": round(e2e_pps, 2),
+        "relay_uplink_mb_per_sec": round(uplink, 1),
+        "e2e_uplink_ceiling_patches_per_sec": round(uplink_cap, 2),
         "forward_patches_per_sec": round(fwd_pps, 2),
         "train_steps_per_sec": round(train_sps, 3),
         "train_patches_per_sec": round(train_sps * TRAIN_B, 2),

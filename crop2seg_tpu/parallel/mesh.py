@@ -83,7 +83,8 @@ def data_parallel_eval(step_fn, mesh: Mesh, axis: str = "data"):
     return wrapped
 
 
-def patch_parallel_infer(fwd_fn, mesh: Mesh, axis: str = "data"):
+def patch_parallel_infer(fwd_fn, mesh: Mesh, axis: str = "data",
+                         extra_replicated: int = 0):
     """Whole-tile inference sharding (SURVEY.md §5: "whole-tile inference
     shards the 100 patches across chips").
 
@@ -95,16 +96,18 @@ def patch_parallel_infer(fwd_fn, mesh: Mesh, axis: str = "data"):
     """
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
-    jitted = jax.jit(fwd_fn, in_shardings=(repl, shard), out_shardings=repl)
+    jitted = jax.jit(fwd_fn,
+                     in_shardings=(repl, shard) + (repl,) * extra_replicated,
+                     out_shardings=repl)
 
-    def wrapped(variables, patch_batch):
+    def wrapped(variables, patch_batch, *extra):
         n = mesh.shape[axis]
         b = (patch_batch.shape[0] if hasattr(patch_batch, "shape")
              else len(patch_batch))
         if b % n:
             raise ValueError(
                 f"patch batch {b} must divide over {n} '{axis}' devices")
-        return jitted(variables, patch_batch)
+        return jitted(variables, patch_batch, *extra)
 
     return wrapped
 

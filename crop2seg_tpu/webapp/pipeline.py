@@ -141,6 +141,42 @@ def get_time_series(tile_name: str, bounds, cache_dir: str, client=None,
     raise RuntimeError(f"time-series acquisition failed: {last_err}")
 
 
+_STREAM_FWD_CACHE: dict = {}
+
+
+def _stream_fwd_cached(model, use_native: bool, mesh_key, mesh):
+    """Jitted stream forward, cached across stream_tile_inference calls.
+
+    flax modules are frozen dataclasses (hashable), so (model, layout,
+    mesh identity) keys one compiled executable per configuration; dates
+    and pad mask are traced arguments, not closed-over constants."""
+    key = (model, use_native, mesh_key)
+    fn = _STREAM_FWD_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    def fwd_impl(v, xb, dates_j, mask_j):
+        if use_native:  # planar (B, T, C, H, W) -> channels-last, free in XLA
+            xb = jnp.transpose(xb, (0, 1, 3, 4, 2))
+        probs = jax.nn.softmax(
+            model.apply(v, xb, dates_j, pad_mask=mask_j,
+                        train=False).astype(jnp.float32), axis=-1)
+        # bf16 probs: the relay downlink is ~40 MB/s, halving the fetched
+        # bytes halves the per-chunk download time; fp32 restored on host
+        return (probs.astype(jnp.bfloat16),
+                jnp.argmax(probs, -1).astype(jnp.uint8))
+
+    if mesh is not None:
+        from crop2seg_tpu.parallel.mesh import patch_parallel_infer
+        fn = patch_parallel_infer(fwd_impl, mesh, extra_replicated=2)
+    else:
+        fn = jax.jit(fwd_impl)
+    _STREAM_FWD_CACHE[key] = fn
+    return fn
+
+
 def stream_tile_inference(model, variables, ds, batch_size: int = 10,
                           mesh=None) -> Tuple[np.ndarray, np.ndarray]:
     """Overlapped disk->crop-map inference over the 100 patches of a cell.
@@ -195,29 +231,33 @@ def stream_tile_inference(model, variables, ds, batch_size: int = 10,
     # transfer.
     free_q: "_queue.Queue" = _queue.Queue()
 
+    def chunks():
+        if use_native:
+            import ml_dtypes
+            paths = [ds.light_item(i)["path"] for i in range(n)]
+            h, w = nat.npy_shape(paths[0])[2:4]
+            for _ in range(2):
+                free_q.put(np.empty((batch_size, t, len(plan["reorder"]),
+                                     h, w), ml_dtypes.bfloat16))
+            for s0 in range(0, n, batch_size):
+                chunk = paths[s0:s0 + batch_size]
+                buf = free_q.get()
+                x, _, _ = nat.load_batch(
+                    chunk, t, h, w, reorder=plan["reorder"],
+                    mean=plan["mean"], std=plan["std"],
+                    layout="nchw", out_dtype="bf16",
+                    out=buf[:len(chunk)])
+                yield (buf, x, len(chunk))
+        else:
+            for s0 in range(0, n, batch_size):
+                samples = [ds[i] for i in range(s0, min(n, s0 + batch_size))]
+                yield (None, np.stack([s["x"] for s in samples]),
+                       len(samples))
+
     def produce(q):
         try:
-            if use_native:
-                import ml_dtypes
-                paths = [ds.light_item(i)["path"] for i in range(n)]
-                h, w = nat.npy_shape(paths[0])[2:4]
-                for _ in range(2):
-                    free_q.put(np.empty((batch_size, t, len(plan["reorder"]),
-                                         h, w), ml_dtypes.bfloat16))
-                for s0 in range(0, n, batch_size):
-                    chunk = paths[s0:s0 + batch_size]
-                    buf = free_q.get()
-                    x, _, _ = nat.load_batch(
-                        chunk, t, h, w, reorder=plan["reorder"],
-                        mean=plan["mean"], std=plan["std"],
-                        layout="nchw", out_dtype="bf16",
-                        out=buf[:len(chunk)])
-                    q.put((buf, x, len(chunk)))
-            else:
-                for s0 in range(0, n, batch_size):
-                    samples = [ds[i] for i in range(s0, min(n, s0 + batch_size))]
-                    q.put((None, np.stack([s["x"] for s in samples]),
-                           len(samples)))
+            for item in chunks():
+                q.put(item)
             q.put(None)
         except Exception as err:  # surface in the consumer thread
             q.put(err)
@@ -226,68 +266,87 @@ def stream_tile_inference(model, variables, ds, batch_size: int = 10,
     mask_j = jnp.tile(pad_mask_from_lengths(jnp.asarray([t]), t),
                       (batch_size, 1))
 
-    def fwd_impl(v, xb):
-        if use_native:  # planar (B, T, C, H, W) -> channels-last, free in XLA
-            xb = jnp.transpose(xb, (0, 1, 3, 4, 2))
-        probs = jax.nn.softmax(
-            model.apply(v, xb, dates_j, pad_mask=mask_j,
-                        train=False).astype(jnp.float32), axis=-1)
-        # bf16 probs: the relay downlink is ~40 MB/s, halving the fetched
-        # bytes halves the per-chunk download time; fp32 restored on host
-        return probs.astype(jnp.bfloat16), jnp.argmax(probs, -1).astype(jnp.uint8)
+    # dates/mask are traced ARGUMENTS and the jitted callable is cached by
+    # (model, layout[, mesh]): a fresh closure per call would recompile the
+    # whole forward on EVERY invocation (~40-60 s on the remote compile
+    # helper — measured 0.3 vs 2.2 patches/s on back-to-back runs).
+    base = _stream_fwd_cached(model, use_native,
+                              None if mesh is None else id(mesh), mesh)
+    fwd = lambda v, xb: base(v, xb, dates_j, mask_j)
 
-    if mesh is not None:
-        from crop2seg_tpu.parallel.mesh import patch_parallel_infer
-        fwd = patch_parallel_infer(fwd_impl, mesh)
-    else:
-        fwd = jax.jit(fwd_impl)
-
-    q = _queue.Queue(maxsize=2)
-    Thread(target=produce, args=(q,), daemon=True).start()
-
-    # fetch on a separate thread so the downlink overlaps the uplink (both
-    # release the GIL while waiting on the relay)
-    pending: "_queue.Queue" = _queue.Queue()
-    results: list = []
-    fetch_err: list = []
-
-    def fetch_worker():
-        try:
-            while True:
-                item = pending.get()
-                if item is None:
-                    return
-                (pb, cb), n0 = item
-                results.append((np.asarray(pb)[:n0], np.asarray(cb)[:n0]))
-        except Exception as err:
-            fetch_err.append(err)
-
-    fetcher = Thread(target=fetch_worker, daemon=True)
-    fetcher.start()
-
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, Exception):
-            pending.put(None)
-            raise item
-        buf, xb_np, nb = item
+    def pad_chunk(buf, xb_np, nb):
         if nb < batch_size and buf is None:
-            xb_np = np.concatenate(
+            return np.concatenate(
                 [xb_np, np.zeros((batch_size - nb,) + xb_np.shape[1:],
                                  xb_np.dtype)])
-        elif nb < batch_size:
+        if nb < batch_size:
             buf[nb:] = 0          # pad rows of the recycled buffer
-            xb_np = buf
-        xb_dev = jnp.asarray(xb_np)
-        if buf is not None:
-            free_q.put(buf)       # asarray copied; safe to recycle
-        pending.put((fwd(variables, xb_dev), nb))
-    pending.put(None)
-    fetcher.join()
-    if fetch_err:
-        raise fetch_err[0]
+            return buf
+        return xb_np
+
+    results: list = []
+    import os
+
+    if (os.cpu_count() or 1) <= 1:
+        # Single-core host (the axon harness): producer/fetcher threads
+        # thrash the GIL against the relay's CPU-bound upload serialization
+        # (measured 0.4-0.85 p/s threaded vs ~1.7 p/s serial; the whole
+        # path is uplink-bound at ~2.4 p/s there anyway). Run a 1-deep
+        # software pipeline: chunk k-1 is fetched only after chunk k's
+        # forward is dispatched, so device compute still overlaps the
+        # next host decode.
+        prev = None
+        for buf, xb_np, nb in chunks():
+            xb_dev = jnp.asarray(pad_chunk(buf, xb_np, nb))
+            if buf is not None:
+                free_q.put(buf)   # asarray copied; safe to recycle
+            out = (fwd(variables, xb_dev), nb)
+            if prev is not None:
+                (pb, cb), n0 = prev
+                results.append((np.asarray(pb)[:n0], np.asarray(cb)[:n0]))
+            prev = out
+        if prev is not None:
+            (pb, cb), n0 = prev
+            results.append((np.asarray(pb)[:n0], np.asarray(cb)[:n0]))
+    else:
+        q = _queue.Queue(maxsize=2)
+        Thread(target=produce, args=(q,), daemon=True).start()
+
+        # fetch on a separate thread so the downlink overlaps the uplink
+        # (both release the GIL while waiting on the relay)
+        pending: "_queue.Queue" = _queue.Queue()
+        fetch_err: list = []
+
+        def fetch_worker():
+            try:
+                while True:
+                    item = pending.get()
+                    if item is None:
+                        return
+                    (pb, cb), n0 = item
+                    results.append((np.asarray(pb)[:n0], np.asarray(cb)[:n0]))
+            except Exception as err:
+                fetch_err.append(err)
+
+        fetcher = Thread(target=fetch_worker, daemon=True)
+        fetcher.start()
+
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                pending.put(None)
+                raise item
+            buf, xb_np, nb = item
+            xb_dev = jnp.asarray(pad_chunk(buf, xb_np, nb))
+            if buf is not None:
+                free_q.put(buf)   # asarray copied; safe to recycle
+            pending.put((fwd(variables, xb_dev), nb))
+        pending.put(None)
+        fetcher.join()
+        if fetch_err:
+            raise fetch_err[0]
 
     proba = np_stitch_inference_tile(
         np.concatenate([p for p, _ in results]).astype(np.float32))
