@@ -91,14 +91,43 @@ def _embed_block(x, mask_col, win_ref, bin_ref, pe_ref, *, g: int, eps: float,
     return xhat, inv_big, h, h.reshape(t * r, d_model)
 
 
-def _attn_weights(h2, mask_col, u_ref, cs_ref, *, t, r, g, exact, cdt):
-    """Masked softmax over T in the transpose-free (T, R, G) layout."""
-    scores = _mm(h2, u_ref[:].astype(cdt), exact) + cs_ref[:]    # (T*R, G) f32
-    scores = scores.reshape(t, r, g)
-    scores = jnp.where(mask_col[:, :, None] > 0.5, -1e6, scores)
-    smax = jnp.max(scores, axis=0, keepdims=True)
-    e = jnp.exp(scores - smax)
-    return e / jnp.sum(e, axis=0, keepdims=True)                 # (T, R, G) f32
+def _attn_weights(xhat, pe_ref, mask_col, win_ref, bin_ref, u_ref, cs_ref,
+                  *, t, r, g, exact, cdt):
+    """Masked softmax over T; returns attention in the (T, R, G) layout.
+
+    Scores come straight from the normalized input: s = h@U + cs with
+    h = xhat@Win + bin + pe  ==  xhat@(Win@U) + (bin + pe)@U + cs — exact
+    algebra, replacing the (T*R, D)@(D, G) matmul by a (C, G)-weight one
+    (Win@U and (bin+pe)@U are per-block (C,G)/(T,G) crumbs). The pad mask
+    is an additive -1e6 (exp underflows to exactly 0, same as masked_fill).
+    On 128-lane row blocks the softmax runs in the (G, T, R) layout — R
+    fills the lane axis; the old (T, R, G) form lit 16/128 lanes — then one
+    rank-3 transpose returns (T, R, G). fwd and bwd call this identically,
+    so the recomputed weights (and the dropout bits applied by the callers
+    in (T, R, G)) match the forward bit-for-bit."""
+    uf = u_ref[:].astype(jnp.float32)
+    ws = _mm(win_ref[:].astype(jnp.float32), uf, exact)          # (C, G) f32
+    pes = _mm(pe_ref[0] + bin_ref[:][None], uf, exact) + cs_ref[:]  # (T, G)
+    pes = pes - 1e6 * mask_col                                   # (T, G) f32
+    xc = xhat.astype(cdt)                                        # (T, R, C)
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
+    if r % 128 == 0:
+        s = jax.lax.dot_general(ws.astype(cdt), xc,
+                                (((0,), (2,)), ((), ())),
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
+        s = s + jnp.transpose(pes)[:, :, None]                   # (G, T, R)
+        smax = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - smax)
+        a = e / jnp.sum(e, axis=1, keepdims=True)
+        return jnp.transpose(a, (1, 2, 0))                       # (T, R, G)
+    # narrow blocks (< 128 lanes) crash Mosaic on the (G, T, R) dot_general
+    s = _mm(xc.reshape(t * r, xc.shape[-1]), ws.astype(cdt),
+            exact).reshape(t, r, g) + pes[:, None, :]
+    smax = jnp.max(s, axis=0, keepdims=True)
+    e = jnp.exp(s - smax)
+    return e / jnp.sum(e, axis=0, keepdims=True)                 # (T, R, G)
 
 
 def _keep_mask(seed_ref, drop_p: float, shape):
@@ -120,10 +149,10 @@ def _fwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
     g = n_head
     d_model = win_ref.shape[1]
 
-    _, _, h, h2 = _embed_block(x_ref[0], mask_ref[0], win_ref, bin_ref,
-                               pe_ref, g=g, eps=eps, exact=exact, cdt=cdt)
-    a = _attn_weights(h2, mask_ref[0], u_ref, cs_ref, t=t, r=r, g=g,
-                      exact=exact, cdt=cdt)
+    xhat, _, h, h2 = _embed_block(x_ref[0], mask_ref[0], win_ref, bin_ref,
+                                  pe_ref, g=g, eps=eps, exact=exact, cdt=cdt)
+    a = _attn_weights(xhat, pe_ref, mask_ref[0], win_ref, bin_ref, u_ref,
+                      cs_ref, t=t, r=r, g=g, exact=exact, cdt=cdt)
     if drop_p > 0.0:
         a = a * _keep_mask(seed_ref, drop_p, a.shape) / (1.0 - drop_p)
     abig = _mm(a.reshape(t * r, g).astype(cdt),
@@ -149,8 +178,8 @@ def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
     xhat, inv_big, h, h2 = _embed_block(
         x_ref[0], mask_ref[0], win_ref, bin_ref, pe_ref,
         g=g, eps=eps, exact=exact, cdt=cdt)
-    a = _attn_weights(h2, mask_ref[0], u_ref, cs_ref, t=t, r=r, g=g,
-                      exact=exact, cdt=cdt)
+    a = _attn_weights(xhat, pe_ref, mask_ref[0], win_ref, bin_ref, u_ref,
+                      cs_ref, t=t, r=r, g=g, exact=exact, cdt=cdt)
     if drop_p > 0.0:
         keep_sc = _keep_mask(seed_ref, drop_p, a.shape) / (1.0 - drop_p)
         a_d = a * keep_sc
@@ -203,6 +232,16 @@ def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
     corr = (dxhat - _mm(m1, sg_c.T, exact)[None]
             - xhat * _mm(m2, sg_c.T, exact)[None])
     dx_ref[0] = (corr * inv_big[None]).astype(dx_ref.dtype)
+
+
+def _vmem_kw(interpret: bool) -> dict:
+    """128-row blocks hold ~36 MB of live fp32 temporaries in the backward
+    kernel — above the 16 MB default scoped-VMEM limit (v5e has 128 MB
+    physical VMEM; 64 MB leaves room for double buffering)."""
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024)}
 
 
 def _interpret_default() -> bool:
@@ -259,7 +298,7 @@ def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
              interpret, exact):
     b, t, n, c = x.shape
     d_model = win_f.shape[1]
-    r = _pick_block(n, 32 if exact else 64)
+    r = _pick_block(n, 32 if exact else 128)
     seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
     kernel = functools.partial(_fwd_kernel, n_head=n_head, eps=1e-5,
                                exact=exact, drop_p=drop_p)
@@ -271,6 +310,7 @@ def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d_model), x.dtype),
         interpret=interpret,
+        **_vmem_kw(interpret),
     )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
       mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
       cs.astype(jnp.float32))
@@ -294,7 +334,7 @@ def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
     exact = x.dtype == jnp.float32
     b, t, n, c = x.shape
     d_model = win_f.shape[1]
-    r = _pick_block(n, 32 if exact else 64)
+    r = _pick_block(n, 32 if exact else 128)
     seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
     in_specs.append(pl.BlockSpec((1, r, d_model), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM))
@@ -329,6 +369,7 @@ def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **_vmem_kw(interpret),
     )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
       mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
       cs.astype(jnp.float32), go)
