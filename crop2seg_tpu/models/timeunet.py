@@ -71,17 +71,33 @@ class TimeUNet(nn.Module):
 
         conv_block, down_block, up_block = ConvBlock, DownConvBlock, UpConvBlock
         if self.remat:
-            # static_argnums count ``self`` as 0; ``train`` is a Python bool.
-            conv_block = nn.remat(ConvBlock, static_argnums=(2,))
+            # static_argnums count ``self`` as 0; ``train`` and
+            # ``packed_tail`` are Python bools (jax.checkpoint statics are
+            # positional-only, so conv_block calls pass all three args
+            # positionally).
+            conv_block = nn.remat(ConvBlock, static_argnums=(2, 3))
             down_block = nn.remat(DownConvBlock, static_argnums=(2,))
             up_block = nn.remat(UpConvBlock, static_argnums=(3,))
 
+        # Lane-packed handoff to the fused L-TAE kernel: when the fused path
+        # will run (mirror of LTAE.__call__'s gate), the in_conv tail emits
+        # (B, T, H, W/2, 2C) natively via the pair conv — full-width lanes
+        # for the kernel's DMA, no relayout (nn/layers.py packed_tail).
+        use_packed = (self.use_pallas and not train and self.num_queries == 1
+                      and not self.is_initializing()
+                      and self.encoder_norm == "group"
+                      and self.padding_mode == "reflect"
+                      and self.conv_type == "2d"
+                      and not self.add_squeeze_excit
+                      and x.shape[3] % 2 == 0 and x.shape[2] >= 2
+                      and x.shape[3] >= 2)
         in_conv = conv_block(
             nkernels=(self.input_dim, enc_w[0], enc_w[0]), norm=self.encoder_norm,
             padding_mode=self.padding_mode, conv_type=self.conv_type,
             add_squeeze=self.add_squeeze_excit, dtype=self.dtype, name="in_conv")
-        out = temporally_shared(lambda f: in_conv(f, train), x,
-                                pad_mask, self.pad_value)
+        out = temporally_shared(
+            lambda f: in_conv(f, train, use_packed), x,
+            pad_mask, self.pad_value)
 
         # Temporal collapse at full 128^2 resolution (reference :169-184).
         out, att = LTAE(
@@ -93,7 +109,7 @@ class TimeUNet(nn.Module):
             use_pallas_train=self.use_pallas_train,
             dtype=self.dtype, name="temporal_encoder",
         )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train,
-          need_attn=return_att)
+          need_attn=return_att, input_packed=use_packed)
 
         feature_maps = [out]
         for i in range(n_stages - 1):
@@ -119,7 +135,7 @@ class TimeUNet(nn.Module):
         logits = conv_block(
             nkernels=(dec_w[0],) + tuple(self.out_conv),
             padding_mode=self.padding_mode, conv_type="2d", dtype=self.dtype,
-            name="out_conv")(out, train)
+            name="out_conv")(out, train, False)
         if return_att:
             return logits, att
         if self.return_maps:

@@ -20,6 +20,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = jnp.dtype
@@ -39,25 +40,133 @@ class _SharedKernelConv3x3(nn.Module):
     """3x3 stride-1 conv whose padding is a *call* argument, so the main pass
     and the edge-strip passes of the decomposed reflect conv share one kernel.
     Parameter layout/init is identical to flax nn.Conv (kernel HWIO
-    lecun_normal, bias zeros) — checkpoint paths are unchanged."""
+    lecun_normal, bias zeros) — checkpoint paths are unchanged.
+
+    ``pair_packed=True`` emits the LANE-PACKED layout natively: a stride-
+    (1, 2) conv with a (3, 4) kernel whose output-channel halves hold the
+    taps for w=2k (positions 0-2) and w=2k+1 (positions 1-3), producing
+    (N, H, W/2, 2F) — i.e. space-to-depth along W fused into the conv
+    custom call. Why: 64-lane bf16 arrays are stored lane-padded in HBM, so
+    a Pallas consumer reads them at half bandwidth, and reshaping to
+    (…, 2F) in XLA is a full relayout copy; the pair conv is the only spot
+    where the packed layout is born for free (+0.5 ms on the flagship conv,
+    -3 ms at the fused L-TAE kernel's DMA, measured v5e)."""
 
     features: int
     use_bias: bool = True
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, padding) -> jax.Array:
+    def __call__(self, x: jax.Array, padding,
+                 pair_packed: bool = False) -> jax.Array:
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
+        if pair_packed:
+            ka = jnp.pad(kernel, ((0, 0), (0, 1), (0, 0), (0, 0)))
+            kb = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))
+            k2 = jnp.concatenate([ka, kb], axis=-1)       # (3, 4, C, 2F)
+            dn = jax.lax.conv_dimension_numbers(x.shape, k2.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(x, k2, (1, 2), padding,
+                                             dimension_numbers=dn)
+            return y if bias is None else y + jnp.concatenate([bias] * 2)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(x, kernel, (1, 1), padding,
                                          dimension_numbers=dn)
         return y if bias is None else y + bias
+
+
+def _reflect_strips(conv: _SharedKernelConv3x3, x: jax.Array):
+    """The four 1-pixel edge strips of the decomposed reflect 3x3 conv:
+    (top, bot) of shape (N, 1, W, F) and (left, right) of (N, H, 1, F)."""
+    h, w = x.shape[1], x.shape[2]
+
+    def strip_h(i0, i1, i2):
+        # output row whose 3-row window is (reflected) rows [i0, i1, i2]
+        s = jnp.concatenate([x[:, i0:i0 + 1], x[:, i1:i1 + 1],
+                             x[:, i2:i2 + 1]], axis=1)
+        s = jnp.pad(s, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+        return conv(s, "VALID")
+
+    def strip_w(i0, i1, i2):
+        s = jnp.concatenate([x[:, :, i0:i0 + 1], x[:, :, i1:i1 + 1],
+                             x[:, :, i2:i2 + 1]], axis=2)
+        s = jnp.pad(s, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+        return conv(s, "VALID")
+
+    return (strip_h(1, 0, 1), strip_h(h - 2, h - 1, h - 2),
+            strip_w(1, 0, 1), strip_w(w - 2, w - 1, w - 2))
+
+
+def _reflect_conv3x3_packed(conv: _SharedKernelConv3x3,
+                            x: jax.Array) -> jax.Array:
+    """Exact reflect-pad 3x3/s1 conv emitting the lane-packed
+    (N, H, W/2, 2F) layout natively (see _SharedKernelConv3x3.pair_packed).
+
+    The bulk is the implicit-zero pair conv; the four edge strips are
+    recomputed exactly (same strip passes as _reflect_conv3x3), packed —
+    tiny tensors, so their relayout is free — and selected in with
+    broadcasted iota masks on the (k, lane) axes: w=0 lives in the low
+    lane-half of pair k=0, w=W-1 in the high half of pair k=W/2-1.
+    Top/bot row selects come last so corners take the H-strip values,
+    matching the unpacked composition order.
+    """
+    h, w = x.shape[1], x.shape[2]
+    bulk = conv(x, ((1, 1), (1, 1)), pair_packed=True)     # (N, H, W/2, 2F)
+    f = bulk.shape[-1] // 2
+    top, bot, left, right = _reflect_strips(conv, x)
+    top_p = top.reshape(top.shape[0], 1, w // 2, 2 * f)
+    bot_p = bot.reshape(bot.shape[0], 1, w // 2, 2 * f)
+    left_p = jnp.concatenate([left, jnp.zeros_like(left)], axis=-1)
+    right_p = jnp.concatenate([jnp.zeros_like(right), right], axis=-1)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w // 2, 1), 2)
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * f), 3)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    out = jnp.where((ik == 0) & (il < f), left_p, bulk)
+    out = jnp.where((ik == w // 2 - 1) & (il >= f), right_p, out)
+    out = jnp.where(iy == 0, top_p, out)
+    out = jnp.where(iy == h - 1, bot_p, out)
+    return out
+
+
+class PackedPairGroupNorm(nn.Module):
+    """GroupNorm over a lane-packed (N, H, W/2, 2C) tensor (two pixels per
+    lane row). Parameter names and shapes match flax nn.GroupNorm (scale/
+    bias of (C,)), so checkpoints are interchangeable with the unpacked
+    module; statistics span the whole frame exactly like the unpacked form
+    because the two lane-halves belong to the same frame. Two-pass variance
+    (stats reduced per lane then folded across the halves with a tiny 0/1
+    matmul) — no E[x^2]-E[x]^2 cancellation."""
+
+    features: int
+    num_groups: int = 4
+    epsilon: float = 1e-5
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        c, g = self.features, self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        n, h, w2, c2 = z.shape
+        assert c2 == 2 * c, (z.shape, c)
+        lane_groups = (np.arange(2 * c) % c) // (c // g)
+        m = jnp.asarray(lane_groups[:, None] == np.arange(g)[None, :],
+                        jnp.float32)                       # (2C, G)
+        cnt = float(h * w2 * 2 * (c // g))
+        zf = z.astype(jnp.float32)
+        mean_g = (jnp.sum(zf, axis=(1, 2)) @ m) / cnt      # (N, G)
+        mean = (mean_g @ m.T)[:, None, None, :]            # (N, 1, 1, 2C)
+        var_g = (jnp.sum(jnp.square(zf - mean), axis=(1, 2)) @ m) / cnt
+        inv = (jax.lax.rsqrt(var_g + self.epsilon) @ m.T)[:, None, None, :]
+        sc = jnp.concatenate([scale] * 2) * inv
+        sh = jnp.concatenate([bias] * 2) - mean * sc
+        return (zf * sc + sh).astype(z.dtype)
 
 
 def _reflect_conv3x3(conv: _SharedKernelConv3x3, x: jax.Array) -> jax.Array:
@@ -75,22 +184,7 @@ def _reflect_conv3x3(conv: _SharedKernelConv3x3, x: jax.Array) -> jax.Array:
     """
     h, w = x.shape[1], x.shape[2]
     out = conv(x, ((1, 1), (1, 1)))
-
-    def strip_h(i0, i1, i2):
-        # output row whose 3-row window is (reflected) rows [i0, i1, i2]
-        s = jnp.concatenate([x[:, i0:i0 + 1], x[:, i1:i1 + 1],
-                             x[:, i2:i2 + 1]], axis=1)
-        s = jnp.pad(s, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-        return conv(s, "VALID")
-
-    def strip_w(i0, i1, i2):
-        s = jnp.concatenate([x[:, :, i0:i0 + 1], x[:, :, i1:i1 + 1],
-                             x[:, :, i2:i2 + 1]], axis=2)
-        s = jnp.pad(s, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
-        return conv(s, "VALID")
-
-    top, bot = strip_h(1, 0, 1), strip_h(h - 2, h - 1, h - 2)
-    left, right = strip_w(1, 0, 1), strip_w(w - 2, w - 1, w - 2)
+    top, bot, left, right = _reflect_strips(conv, x)
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
     # order matters: top/bot last so the corners come from the H strips,
@@ -119,7 +213,7 @@ class Conv2d(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pair_packed: bool = False) -> jax.Array:
         p = self.padding
         # zeros padding stays implicit in the conv (no materialized padded
         # copy in HBM). Reflect MUST materialize: a border-fix variant using
@@ -131,10 +225,14 @@ class Conv2d(nn.Module):
         if (self.padding_mode == "reflect" and p == 1 and self.kernel_size == 3
                 and self.stride == 1 and self.feature_group_count == 1
                 and x.shape[1] >= 2 and x.shape[2] >= 2):
-            return _reflect_conv3x3(
-                _SharedKernelConv3x3(features=self.features,
-                                     use_bias=self.use_bias,
-                                     dtype=self.dtype, name="conv"), x)
+            conv = _SharedKernelConv3x3(features=self.features,
+                                        use_bias=self.use_bias,
+                                        dtype=self.dtype, name="conv")
+            if pair_packed:
+                assert x.shape[2] % 2 == 0, x.shape
+                return _reflect_conv3x3_packed(conv, x)
+            return _reflect_conv3x3(conv, x)
+        assert not pair_packed, "pair_packed needs the k3/s1/p1 reflect form"
         conv = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -280,10 +378,21 @@ class ConvLayer(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 packed_tail: bool = False) -> jax.Array:
+        # packed_tail: emit the LAST unit in the lane-packed (N, H, W/2, 2C)
+        # layout (pair conv + PackedPairGroupNorm + ReLU) so a fused-kernel
+        # consumer reads full-width lanes with no relayout (see
+        # _SharedKernelConv3x3.pair_packed). Same math as the unpacked tail.
+        if packed_tail:
+            assert (self.conv_type == "2d" and self.norm == "group"
+                    and self.k == 3 and self.s == 1 and self.p == 1
+                    and self.padding_mode == "reflect" and self.last_relu
+                    and not self.add_squeeze), "packed_tail unsupported here"
         norm_fn = make_norm(self.norm, self.n_groups, self.dtype)
         n = len(self.nkernels) - 1
         for i in range(n):
+            tail = packed_tail and i == n - 1
             if self.conv_type == "depthwise_separable":
                 x = DepthwiseSeparableConv2d(
                     features=self.nkernels[i + 1], kernel_size=self.k,
@@ -295,8 +404,12 @@ class ConvLayer(nn.Module):
                     features=self.nkernels[i + 1], kernel_size=self.k,
                     stride=self.s, padding=self.p, padding_mode=self.padding_mode,
                     dtype=self.dtype, name=f"conv{i}",
-                )(x)
-            if norm_fn is not None:
+                )(x, pair_packed=tail)
+            if tail:
+                x = PackedPairGroupNorm(
+                    features=self.nkernels[i + 1], num_groups=self.n_groups,
+                    dtype=self.dtype, name=f"norm{i}")(x)
+            elif norm_fn is not None:
                 m = norm_fn(name=f"norm{i}")
                 x = m(x, use_running_average=not train) if self.norm == "batch" else m(x)
             if self.last_relu or i < n - 1:
@@ -318,12 +431,13 @@ class ConvBlock(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 packed_tail: bool = False) -> jax.Array:
         return ConvLayer(
             nkernels=self.nkernels, norm=self.norm, last_relu=self.last_relu,
             padding_mode=self.padding_mode, conv_type=self.conv_type,
             add_squeeze=self.add_squeeze, dtype=self.dtype, name="conv",
-        )(x, train=train)
+        )(x, train=train, packed_tail=packed_tail)
 
 
 class DownConvBlock(nn.Module):

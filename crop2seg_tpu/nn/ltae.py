@@ -223,13 +223,20 @@ class LTAE(nn.Module):
         return self.positional_encoder(bp)
 
     def _fused(self, x: jax.Array, batch_positions: jax.Array,
-               pad_mask: jax.Array | None, need_attn: bool = True):
+               pad_mask: jax.Array | None, need_attn: bool = True,
+               input_packed: bool = False):
         """Fused Pallas path (eval, nq=1); x: (B, T, H, W, C). The kernel
-        takes the time-major layout directly — no HBM transpose."""
+        takes the time-major layout directly — no HBM transpose.
+
+        input_packed: x arrives LANE-PACKED as (B, T, H, W/2, 2C) from a
+        pair-conv producer (nn/layers.py packed_tail) — two adjacent-W
+        pixels per lane row; the kernel then runs its packed pipeline with
+        full 128-lane DMA (ops/ltae_pallas.py v3.1 note)."""
         from crop2seg_tpu.ops.ltae_pallas import (
             fold_batchnorm, ltae_fused_forward)
 
-        b, t, hh, ww, c = x.shape
+        b, t, hh, w_in, c_in = x.shape
+        ww, c = (2 * w_in, c_in // 2) if input_packed else (w_in, c_in)
         pe = self._pe(batch_positions) if self.positional_encoding else \
             jnp.zeros((b, t, self.d_model or c), x.dtype)
         wm = self.mlp_dense.variables["params"]["kernel"]
@@ -250,10 +257,11 @@ class LTAE(nn.Module):
         }
         if pad_mask is None:
             pad_mask = jnp.zeros((b, t), bool)
-        rows = x.reshape(b, t, hh * ww, c)
+        rows = x.reshape(b, t, hh * w_in, c_in)
         out, attn = ltae_fused_forward(
             rows, pe, pad_mask, params,
-            n_head=self.n_head, d_k=self.d_k, need_attn=need_attn)
+            n_head=self.n_head, d_k=self.d_k, need_attn=need_attn,
+            packed_input=input_packed)
         return (out.reshape(b, hh, ww, -1),
                 None if attn is None
                 else attn.reshape(b, hh, ww, self.n_head, t))
@@ -421,14 +429,17 @@ class LTAE(nn.Module):
 
     def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
                  pad_mask: jax.Array | None = None, train: bool = False,
-                 need_attn: bool = True):
+                 need_attn: bool = True, input_packed: bool = False):
         # x stays (B, T, H, W, C): attention contracts T in place.
         # need_attn=False lets the fused kernel skip writing the attention
         # masks (TimeUNet discards them; XLA DCEs the same work itself).
+        # input_packed (lane-packed x from a pair-conv producer) is only
+        # meaningful on the fused path; callers must mirror its gate.
         if (self.use_pallas and not train and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
             return self._fused(x, batch_positions, pad_mask,
-                               need_attn=need_attn)
+                               need_attn=need_attn, input_packed=input_packed)
+        assert not input_packed, "input_packed requires the fused path"
         if (self.use_pallas_train and not need_attn and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
             return self._fused_train(x, batch_positions, pad_mask, train)

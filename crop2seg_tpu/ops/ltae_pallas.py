@@ -35,9 +35,15 @@ of compute, ~8 ms of it a softmax running on 16 of 128 lanes):
   DMAs automatically; blocks narrower than 128 lanes fall back to the
   (T, R, G) softmax (the (G, T, R) dot_general crashes Mosaic there);
 - Mosaic cannot reshape/split the lane (last) axis, so grouped reductions
-  and broadcasts go through tiny 0/1 matrices on the MXU.
-Measured (v5e, B=8, N=16384, T=61, C=64): v2 28.1 ms -> v3 21.2 ms; the
-TimeUNet B=8 forward 47.5 -> 38.9 ms with the decomposed reflect convs.
+  and broadcasts go through tiny 0/1 matrices on the MXU;
+- (v3.1) two pixels are packed per lane row: C=64 on lanes leaves bf16
+  (16, 128)-tiles half-empty, so x is viewed as (B, T, N/2, 2C) — a free
+  reinterpret — and every per-pixel weight is block-diagonalized
+  (ltae_fused_forward); the kernel then runs the identical math at full
+  lane width. Output is bitwise identical to the unpacked form.
+Measured (v5e, B=8, N=16384, T=61, C=64): v2 28.1 -> v3 18.8 -> packed
+13.0 ms (stage probe: ~10.6 ms of that is the platform's flat ~96 GB/s
+Pallas DMA floor for the 1 GB x stream).
 
 Scope: inference path (eval mode: dropout off, BatchNorm folded into the MLP
 matmul) with num_queries=1. Training keeps the XLA path (autodiff).
@@ -192,7 +198,8 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        eps: float = 1e-5, need_attn: bool = True,
                        exact: Optional[bool] = None,
                        interpret: Optional[bool] = None,
-                       vmem_limit_mb: Optional[int] = None):
+                       vmem_limit_mb: Optional[int] = None,
+                       packed_input: bool = False):
     """Fused L-TAE forward.
 
     x: TIME-MAJOR (B, T, N, C) rows (N = H*W — a free reshape of the model's
@@ -200,6 +207,14 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     params keys (raw module parameters — folding happens here, in XLA):
     in_scale, in_bias (C,), win (C, d), bin, wk (d, n_head*d_k), bk,
     q (n_head, d_k), wm_folded (d, d_out), bm_folded, out_scale, out_bias.
+
+    packed_input=True: x arrives LANE-PACKED as (B, T, N/2, 2C) — two pixels
+    per lane row, pairs (2m, 2m+1) — and the kernel runs the v3.1 packed
+    pipeline (see the module docstring). The producer must write that shape
+    natively (e.g. the pair-conv in nn/layers.py): reshaping an unpacked
+    (…, N, C) array to (…, N/2, 2C) inside XLA is NOT free — 64-lane bf16
+    arrays are stored lane-padded in HBM, so the reshape is a physical
+    relayout (~8 ms for the 1 GB flagship tensor, erasing the win).
 
     Returns (out (B, N, d_out), attn (B, N, n_head, T) or None).
     exact=None: fp32 matmuls for fp32 inputs, native-dtype (bf16) matmuls
@@ -211,14 +226,11 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     if exact is None:
         exact = x.dtype == jnp.float32
     b, t, n, c = x.shape
+    if packed_input:
+        n, c = 2 * n, c // 2  # logical pixels / true channels
+    n_orig = n
     d_model = params["win"].shape[1]
     d_out = params["wm_folded"].shape[1]
-    # fp32/exact keeps h + the weighted-sum product in fp32: a 64-row block
-    # already fills ~13 MB of the 16 MB scoped VMEM, so cap at 32.
-    r = min(row_block if not exact else min(row_block, 32), n)
-    while n % r:
-        r //= 2
-    grid = (b, n // r)
 
     # --- offline folds (tiny XLA ops, fused into the enclosing jit) --------
     # in-GroupNorm affine into W_in:  xn@W+b = xhat@(s*W) + (b + bias_c@W)
@@ -242,7 +254,48 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     pes = pes - 1e6 * pad_mask.astype(jnp.float32)[:, :, None]
     pes = jnp.swapaxes(pes, 1, 2)                          # (B, G, T)
 
-    kernel = functools.partial(_kernel, n_head=n_head, eps=eps, exact=exact)
+    wm, bm = params["wm_folded"], params["bm_folded"]
+    osc, obi = params["out_scale"], params["out_bias"]
+
+    # --- lane packing: 2 pixels per lane row -------------------------------
+    # Every kernel array carries C=64 (or D=256, d_out=128...) on the lane
+    # axis — a fraction that leaves bf16 (16, 128)-tiles half-empty, halving
+    # both DMA and VPU throughput. Viewing x (B, T, N, C) as
+    # (B, T, N/2, 2C) is a FREE reinterpret (trailing dims are contiguous),
+    # and with every per-pixel weight block-diagonalized (and per-head
+    # tables tiled) the existing kernel runs the identical per-pixel math at
+    # full lane width: out/attn unpack by the inverse free reinterpret.
+    # Measured v5e, B=8, N=16384, T=61, C=64: 18.8 -> 13.0 ms, output
+    # bitwise identical. Packing is only applied when the input already
+    # arrives packed (packed_input): reshaping an unpacked array here would
+    # trigger the HBM relayout described in the docstring and lose more
+    # than the kernel gains.
+    pack = packed_input
+    if pack:
+        def bd(a):  # block-diag [[a, 0], [0, a]]
+            z = jnp.zeros(a.shape, a.dtype)
+            return jnp.concatenate([jnp.concatenate([a, z], 1),
+                                    jnp.concatenate([z, a], 1)], 0)
+
+        win, ws, wm = bd(win), bd(ws), bd(wm)
+        bin_ = jnp.concatenate([bin_] * 2)
+        bm = jnp.concatenate([bm] * 2)
+        osc = jnp.concatenate([osc] * 2)
+        obi = jnp.concatenate([obi] * 2)
+        pe = jnp.concatenate([pe, pe], axis=-1)
+        pes = jnp.tile(pes, (1, 2, 1))
+        n, c, d_model, d_out = n // 2, 2 * c, 2 * d_model, 2 * d_out
+    g_eff = 2 * n_head if pack else n_head
+
+    # fp32/exact keeps h + the weighted-sum product in fp32: a 64-pixel
+    # block already fills ~13 MB of the 16 MB scoped VMEM, so cap there.
+    r_cap = row_block if not exact else min(row_block, 16 if pack else 32)
+    r = min(r_cap, n)
+    while n % r:
+        r //= 2
+    grid = (b, n // r)
+
+    kernel = functools.partial(_kernel, n_head=g_eff, eps=eps, exact=exact)
 
     def vec(_=None):  # whole small tensor resident in VMEM
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -253,7 +306,7 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
         pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         vec(), vec(), vec(),
-        pl.BlockSpec((1, n_head, t), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, g_eff, t), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         vec(), vec(), vec(), vec(),
     ]
@@ -261,10 +314,10 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, n, d_out), x.dtype)]
     if need_attn:
-        out_specs.append(pl.BlockSpec((1, r, n_head, t),
+        out_specs.append(pl.BlockSpec((1, r, g_eff, t),
                                       lambda i, j: (i, j, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, n, n_head, t), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, n, g_eff, t), jnp.float32))
     else:
         kernel = functools.partial(kernel, attn_ref=None)
 
@@ -282,11 +335,13 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
         **kw,
     )(x, pe.astype(jnp.float32),
       win, bin_.astype(jnp.float32), ws, pes,
-      params["wm_folded"], params["bm_folded"].astype(jnp.float32),
-      params["out_scale"], params["out_bias"])
+      wm, bm.astype(jnp.float32), osc, obi)
+    # unpack: (B, N/2, 2*d) and (B, N/2, 2G, T) are the SAME memory as
+    # (B, N, d) / (B, N, G, T) — free reinterpret, inverse of the x view.
+    out = res[0].reshape(b, n_orig, d_out // (2 if pack else 1))
     if need_attn:
-        return res[0], res[1]
-    return res[0], None
+        return out, res[1].reshape(b, n_orig, n_head, t)
+    return out, None
 
 
 def params_from_ltae_variables(variables: Dict, n_head: int = 16) -> Dict:

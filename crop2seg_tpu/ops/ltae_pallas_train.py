@@ -249,11 +249,43 @@ def _interpret_default() -> bool:
     return getattr(dev, "platform", "cpu") not in ("tpu", "axon")
 
 
+def _bd2(a: jax.Array) -> jax.Array:
+    """Block-diag [[a, 0], [0, a]] (lane-packing weight transform)."""
+    z = jnp.zeros_like(a)
+    return jnp.concatenate([jnp.concatenate([a, z], 1),
+                            jnp.concatenate([z, a], 1)], 0)
+
+
+def _pack2(x, pe, win_f, bin_f, u, cs):
+    """Pack 2 pixels per lane row (see ops/ltae_pallas.py v3.1 note): view
+    x (B, T, N, C) as (B, T, N/2, 2C) — a free reinterpret — and
+    block-diagonalize every per-pixel weight / tile every per-head table.
+    The kernels then run the identical per-pixel math at full 128-lane
+    width (C=64 on lanes leaves bf16 tiles half-empty: ~1.45x measured).
+    """
+    b, t, n, c = x.shape
+    return (x.reshape(b, t, n // 2, 2 * c),
+            jnp.concatenate([pe, pe], axis=-1),
+            _bd2(win_f), jnp.concatenate([bin_f] * 2), _bd2(u),
+            jnp.concatenate([cs, cs], axis=1))
+
+
 def _pick_block(n: int, want: int) -> int:
     r = min(want, n)
     while n % r:
         r //= 2
     return r
+
+
+def _block_want(exact: bool, pack: bool) -> int:
+    """Row-block size shared by the fwd and bwd kernels. MUST be identical
+    in both directions: the attention-dropout keep bits are reproduced in
+    backward from (seed, grid position, block shape) — a different block
+    split would change the bits. Packed blocks halve the row count so the
+    ~36 MB of live bwd fp32 temporaries stay under the 64 MB VMEM limit."""
+    if exact:
+        return 16 if pack else 32
+    return 64 if pack else 128
 
 
 def _specs(b, t, n, r, c, d_model, g):
@@ -297,12 +329,18 @@ def ltae_pool(x, pe, pad_mask, win_f, bin_f, u, cs, seed,
 def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
              interpret, exact):
     b, t, n, c = x.shape
+    n_orig, d_orig = n, win_f.shape[1]
+    pack = n % 2 == 0 and n >= 4
+    if pack:
+        x, pe, win_f, bin_f, u, cs = _pack2(x, pe, win_f, bin_f, u, cs)
+        n, c = n // 2, 2 * c
+        n_head *= 2
     d_model = win_f.shape[1]
-    r = _pick_block(n, 32 if exact else 128)
+    r = _pick_block(n, _block_want(exact, pack))
     seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
     kernel = functools.partial(_fwd_kernel, n_head=n_head, eps=1e-5,
                                exact=exact, drop_p=drop_p)
-    return pl.pallas_call(
+    o = pl.pallas_call(
         kernel,
         grid=(b, n // r),
         in_specs=[seed_spec] + in_specs,
@@ -314,6 +352,8 @@ def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
     )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
       mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
       cs.astype(jnp.float32))
+    # (B, N/2, 2D) is the same memory as (B, N, D): free reinterpret back
+    return o.reshape(b, n_orig, d_orig)
 
 
 def _ltae_pool_fwd(x, pe, pad_mask, win_f, bin_f, u, cs, seed,
@@ -333,8 +373,15 @@ def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
         interpret = _interpret_default()
     exact = x.dtype == jnp.float32
     b, t, n, c = x.shape
+    n_orig, c_orig, d_orig, g_orig = n, c, win_f.shape[1], n_head
+    pack = n % 2 == 0 and n >= 4
+    if pack:
+        x, pe, win_f, bin_f, u, cs = _pack2(x, pe, win_f, bin_f, u, cs)
+        go = go.reshape(b, n // 2, 2 * d_orig)  # free reinterpret
+        n, c = n // 2, 2 * c
+        n_head *= 2
     d_model = win_f.shape[1]
-    r = _pick_block(n, 32 if exact else 128)
+    r = _pick_block(n, _block_want(exact, pack))
     seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
     in_specs.append(pl.BlockSpec((1, r, d_model), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM))
@@ -373,6 +420,18 @@ def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
     )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
       mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
       cs.astype(jnp.float32), go)
+    if pack:
+        # unpack the gradients: the packing map is linear (block-diag embed
+        # of weights, channel-duplicate of pe/bias), so its transpose sums
+        # each parameter's two diagonal blocks / halves; the off-diagonal
+        # cross-pixel blocks belong to constructed zeros and are dropped.
+        d, g = d_orig, g_orig
+        dx = dx.reshape(b, t, n_orig, c_orig)          # free reinterpret
+        dpe = dpe[:, :, :d] + dpe[:, :, d:]
+        dwin = dwin[:c_orig, :d] + dwin[c_orig:, d:]
+        dbin = dbin[:, :d] + dbin[:, d:]
+        du = du[:d, :g] + du[d:, g:]
+        dcs = dcs[:, :g] + dcs[:, g:]
     return (dx, dpe.astype(pe.dtype), None, dwin.astype(win_f.dtype),
             dbin[0].astype(bin_f.dtype), du.astype(u.dtype),
             dcs.astype(cs.dtype), None)

@@ -81,6 +81,31 @@ def test_fused_pad_invariance():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_fused_packed_input_matches():
+    """packed_input=True (two pixels per lane row, block-diag weights) must
+    reproduce the unpacked kernel output and attention exactly (same math,
+    v3.1 lane packing; x view (B, T, N/2, 2C) is a free reinterpret)."""
+    m, variables, x, dates, pad = _setup()
+    pe = m.bind(variables).positional_encoder(dates)
+    rows = x.reshape(B, T, H * W, C)
+    params = params_from_ltae_variables(variables, n_head=N_HEAD)
+    out_u, attn_u = ltae_fused_forward(rows, pe, pad, params, n_head=N_HEAD,
+                                       d_k=D_K, row_block=32, interpret=True)
+    packed = rows.reshape(B, T, H * W // 2, 2 * C)
+    out_p, attn_p = ltae_fused_forward(packed, pe, pad, params,
+                                       n_head=N_HEAD, d_k=D_K, row_block=32,
+                                       interpret=True, packed_input=True)
+    assert out_p.shape == out_u.shape and attn_p.shape == attn_u.shape
+    # out tolerance: this config's out-GroupNorm has 2-channel groups whose
+    # variance is ~0 for some rows, so outputs sit at +-1 * var/(var+eps)
+    # and amplify matmul accumulation-order noise (block-diag K doubles the
+    # contraction length). Attention weights have no such degeneracy.
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(attn_p), np.asarray(attn_u),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_timeunet_use_pallas_matches():
     """TimeUNet with use_pallas=True must match the XLA path end-to-end."""
     from crop2seg_tpu.models import TimeUNet

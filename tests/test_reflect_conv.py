@@ -84,3 +84,33 @@ def test_bf16_dtype():
     y = m.apply(v, x)
     assert y.dtype == jnp.bfloat16 and np.isfinite(
         np.asarray(y, np.float32)).all()
+
+
+@pytest.mark.parametrize("hw", [(2, 2), (4, 6), (7, 8), (16, 24)])
+def test_pair_packed_matches_unpacked(hw):
+    """pair_packed=True (lane-packed (N, H, W/2, 2F) output) must equal the
+    unpacked reflect conv space-to-depth'd along W — exactly, in fp32."""
+    h, w = hw
+    m = Conv2d(features=6, kernel_size=3, stride=1, padding=1,
+               padding_mode="reflect")
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, h, w, 4), jnp.float32)
+    v = m.init(jax.random.PRNGKey(3), x)
+    want = np.asarray(m.apply(v, x)).reshape(3, h, w // 2, 12)
+    got = np.asarray(m.apply(v, x, pair_packed=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_packed_tail_conv_layer_matches():
+    """ConvLayer(packed_tail=True): last unit emits (N, H, W/2, 2C) with the
+    pair conv + PackedPairGroupNorm + ReLU; must equal the unpacked layer."""
+    from crop2seg_tpu.nn.layers import ConvLayer
+
+    m = ConvLayer(nkernels=(4, 8, 8), norm="group",
+                  padding_mode="reflect", conv_type="2d")
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 8, 10, 4), jnp.float32)
+    v = m.init(jax.random.PRNGKey(5), x, False)
+    want = np.asarray(m.apply(v, x, False))
+    got = np.asarray(m.apply(v, x, False, packed_tail=True))
+    assert got.shape == (3, 8, 5, 16)
+    np.testing.assert_allclose(got.reshape(want.shape), want,
+                               rtol=2e-5, atol=2e-5)
