@@ -71,11 +71,11 @@ class TimeUNet(nn.Module):
 
         conv_block, down_block, up_block = ConvBlock, DownConvBlock, UpConvBlock
         if self.remat:
-            # static_argnums count ``self`` as 0; ``train`` and
-            # ``packed_tail`` are Python bools (jax.checkpoint statics are
-            # positional-only, so conv_block calls pass all three args
-            # positionally).
-            conv_block = nn.remat(ConvBlock, static_argnums=(2, 3))
+            # static_argnums count ``self`` as 0; ``train``, ``packed_tail``
+            # and ``defer_tail_norm`` are Python bools (jax.checkpoint
+            # statics are positional-only, so conv_block calls pass all four
+            # args positionally).
+            conv_block = nn.remat(ConvBlock, static_argnums=(2, 3, 4))
             down_block = nn.remat(DownConvBlock, static_argnums=(2,))
             up_block = nn.remat(UpConvBlock, static_argnums=(3,))
 
@@ -95,9 +95,25 @@ class TimeUNet(nn.Module):
             nkernels=(self.input_dim, enc_w[0], enc_w[0]), norm=self.encoder_norm,
             padding_mode=self.padding_mode, conv_type=self.conv_type,
             add_squeeze=self.add_squeeze_excit, dtype=self.dtype, name="in_conv")
-        out = temporally_shared(
-            lambda f: in_conv(f, train, use_packed), x,
-            pad_mask, self.pad_value)
+        tail_affine = None
+        if use_packed:
+            # Deferred tail norm: in_conv returns the RAW pair-conv output
+            # plus its per-frame GroupNorm affine; the fused L-TAE kernel
+            # applies max(z*sc+sh, 0) in VMEM (no materialized normalized
+            # copy — saves the ~2 GB normalize round-trip). The pad mask is
+            # folded into the affine as zeroed rows, which reproduces
+            # temporally_shared's pad_value overwrite exactly (pads are 0).
+            b_, t_ = x.shape[:2]
+            z, sc, sh = in_conv(x.reshape((b_ * t_,) + x.shape[2:]),
+                                train, True, True)
+            out = z.reshape((b_, t_) + z.shape[1:])
+            valid = (~pad_mask).astype(jnp.float32)[:, :, None]
+            tail_affine = (sc.reshape(b_, t_, -1) * valid,
+                           sh.reshape(b_, t_, -1) * valid)
+        else:
+            out = temporally_shared(
+                lambda f: in_conv(f, train, False, False), x,
+                pad_mask, self.pad_value)
 
         # Temporal collapse at full 128^2 resolution (reference :169-184).
         out, att = LTAE(
@@ -109,7 +125,8 @@ class TimeUNet(nn.Module):
             use_pallas_train=self.use_pallas_train,
             dtype=self.dtype, name="temporal_encoder",
         )(out, batch_positions=batch_positions, pad_mask=pad_mask, train=train,
-          need_attn=return_att, input_packed=use_packed)
+          need_attn=return_att, input_packed=use_packed,
+          tail_affine=tail_affine)
 
         feature_maps = [out]
         for i in range(n_stages - 1):
@@ -135,7 +152,7 @@ class TimeUNet(nn.Module):
         logits = conv_block(
             nkernels=(dec_w[0],) + tuple(self.out_conv),
             padding_mode=self.padding_mode, conv_type="2d", dtype=self.dtype,
-            name="out_conv")(out, train, False)
+            name="out_conv")(out, train, False, False)
         if return_att:
             return logits, att
         if self.return_maps:

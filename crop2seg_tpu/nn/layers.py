@@ -149,7 +149,14 @@ class PackedPairGroupNorm(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:
+    def __call__(self, z: jax.Array, defer: bool = False):
+        """defer=False: return the normalized tensor. defer=True: return the
+        per-frame affine ``(sc, sh)`` of shape (N, 2C) fp32 such that
+        ``z * sc + sh`` IS the normalized tensor — the stats reads still
+        happen here, but the full-size normalize read+write is handed to the
+        consumer (the fused L-TAE kernel applies it in VMEM right after the
+        block DMA, saving the ~2 GB HBM round-trip of the materialized
+        normalized copy on the flagship in_conv tail)."""
         c, g = self.features, self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -166,6 +173,8 @@ class PackedPairGroupNorm(nn.Module):
         inv = (jax.lax.rsqrt(var_g + self.epsilon) @ m.T)[:, None, None, :]
         sc = jnp.concatenate([scale] * 2) * inv
         sh = jnp.concatenate([bias] * 2) - mean * sc
+        if defer:
+            return sc[:, 0, 0, :], sh[:, 0, 0, :]
         return (zf * sc + sh).astype(z.dtype)
 
 
@@ -379,16 +388,23 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 packed_tail: bool = False) -> jax.Array:
+                 packed_tail: bool = False, defer_tail_norm: bool = False):
         # packed_tail: emit the LAST unit in the lane-packed (N, H, W/2, 2C)
         # layout (pair conv + PackedPairGroupNorm + ReLU) so a fused-kernel
         # consumer reads full-width lanes with no relayout (see
         # _SharedKernelConv3x3.pair_packed). Same math as the unpacked tail.
+        # defer_tail_norm (requires packed_tail): return the tail unit as
+        # ``(z_raw, sc, sh)`` — the raw pair-conv output plus the per-frame
+        # GroupNorm affine (N, 2C) — WITHOUT applying normalize/ReLU; the
+        # fused L-TAE kernel applies ``max(z*sc+sh, 0)`` in VMEM, skipping
+        # the materialized normalized copy (a ~2 GB HBM round-trip on the
+        # flagship in_conv tail).
         if packed_tail:
             assert (self.conv_type == "2d" and self.norm == "group"
                     and self.k == 3 and self.s == 1 and self.p == 1
                     and self.padding_mode == "reflect" and self.last_relu
                     and not self.add_squeeze), "packed_tail unsupported here"
+        assert not defer_tail_norm or packed_tail
         norm_fn = make_norm(self.norm, self.n_groups, self.dtype)
         n = len(self.nkernels) - 1
         for i in range(n):
@@ -406,9 +422,13 @@ class ConvLayer(nn.Module):
                     dtype=self.dtype, name=f"conv{i}",
                 )(x, pair_packed=tail)
             if tail:
-                x = PackedPairGroupNorm(
+                gn = PackedPairGroupNorm(
                     features=self.nkernels[i + 1], num_groups=self.n_groups,
-                    dtype=self.dtype, name=f"norm{i}")(x)
+                    dtype=self.dtype, name=f"norm{i}")
+                if defer_tail_norm:
+                    sc, sh = gn(x, defer=True)
+                    return x, sc, sh
+                x = gn(x)
             elif norm_fn is not None:
                 m = norm_fn(name=f"norm{i}")
                 x = m(x, use_running_average=not train) if self.norm == "batch" else m(x)
@@ -432,12 +452,13 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 packed_tail: bool = False) -> jax.Array:
+                 packed_tail: bool = False, defer_tail_norm: bool = False):
         return ConvLayer(
             nkernels=self.nkernels, norm=self.norm, last_relu=self.last_relu,
             padding_mode=self.padding_mode, conv_type=self.conv_type,
             add_squeeze=self.add_squeeze, dtype=self.dtype, name="conv",
-        )(x, train=train, packed_tail=packed_tail)
+        )(x, train=train, packed_tail=packed_tail,
+          defer_tail_norm=defer_tail_norm)
 
 
 class DownConvBlock(nn.Module):

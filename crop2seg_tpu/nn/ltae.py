@@ -224,14 +224,18 @@ class LTAE(nn.Module):
 
     def _fused(self, x: jax.Array, batch_positions: jax.Array,
                pad_mask: jax.Array | None, need_attn: bool = True,
-               input_packed: bool = False):
+               input_packed: bool = False, tail_affine=None):
         """Fused Pallas path (eval, nq=1); x: (B, T, H, W, C). The kernel
         takes the time-major layout directly — no HBM transpose.
 
         input_packed: x arrives LANE-PACKED as (B, T, H, W/2, 2C) from a
         pair-conv producer (nn/layers.py packed_tail) — two adjacent-W
         pixels per lane row; the kernel then runs its packed pipeline with
-        full 128-lane DMA (ops/ltae_pallas.py v3.1 note)."""
+        full 128-lane DMA (ops/ltae_pallas.py v3.1 note).
+
+        tail_affine: optional (sc, sh) of (B, T, 2C) — the producer conv
+        tail's DEFERRED GroupNorm(+pad-mask) affine; the kernel applies
+        max(x*sc+sh, 0) in VMEM (ops/ltae_pallas.py tail_affine)."""
         from crop2seg_tpu.ops.ltae_pallas import (
             fold_batchnorm, ltae_fused_forward)
 
@@ -261,7 +265,7 @@ class LTAE(nn.Module):
         out, attn = ltae_fused_forward(
             rows, pe, pad_mask, params,
             n_head=self.n_head, d_k=self.d_k, need_attn=need_attn,
-            packed_input=input_packed)
+            packed_input=input_packed, tail_affine=tail_affine)
         return (out.reshape(b, hh, ww, -1),
                 None if attn is None
                 else attn.reshape(b, hh, ww, self.n_head, t))
@@ -429,17 +433,21 @@ class LTAE(nn.Module):
 
     def __call__(self, x: jax.Array, batch_positions: jax.Array | None = None,
                  pad_mask: jax.Array | None = None, train: bool = False,
-                 need_attn: bool = True, input_packed: bool = False):
+                 need_attn: bool = True, input_packed: bool = False,
+                 tail_affine=None):
         # x stays (B, T, H, W, C): attention contracts T in place.
         # need_attn=False lets the fused kernel skip writing the attention
         # masks (TimeUNet discards them; XLA DCEs the same work itself).
-        # input_packed (lane-packed x from a pair-conv producer) is only
+        # input_packed (lane-packed x from a pair-conv producer) and
+        # tail_affine (that producer's deferred GroupNorm affine) are only
         # meaningful on the fused path; callers must mirror its gate.
         if (self.use_pallas and not train and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
             return self._fused(x, batch_positions, pad_mask,
-                               need_attn=need_attn, input_packed=input_packed)
-        assert not input_packed, "input_packed requires the fused path"
+                               need_attn=need_attn, input_packed=input_packed,
+                               tail_affine=tail_affine)
+        assert not input_packed and tail_affine is None, (
+            "input_packed/tail_affine require the fused path")
         if (self.use_pallas_train and not need_attn and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
             return self._fused_train(x, batch_positions, pad_mask, train)

@@ -62,8 +62,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, pe_ref,
             win_ref, bin_ref, ws_ref, pes_ref, wm_ref, bm_ref,
-            out_scale_ref, out_bias_ref,
-            out_ref, attn_ref, *, n_head: int, eps: float, exact: bool):
+            out_scale_ref, out_bias_ref, *rest,
+            n_head: int, eps: float, exact: bool,
+            tail: bool, need_attn: bool):
+    # optional trailing inputs (tail=True): tsc/tsh (1, T, C) — the deferred
+    # conv-tail GroupNorm affine applied as max(x*sc+sh, 0) right after the
+    # block DMA (see ltae_fused_forward tail_affine).
+    if tail:
+        tsc_ref, tsh_ref = rest[0], rest[1]
+        rest = rest[2:]
+    out_ref = rest[0]
+    attn_ref = rest[1] if need_attn else None
     t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     d_model = win_ref.shape[1]
     d_out = wm_ref.shape[1]
@@ -93,6 +102,9 @@ def _kernel(x_ref, pe_ref,
 
     x = x_ref[0]                                           # (T, R, C)
     xf = x.astype(jnp.float32)
+    if tail:
+        xf = jnp.maximum(xf * tsc_ref[0][:, None, :]
+                         + tsh_ref[0][:, None, :], 0.0)
     # --- GroupNorm over (T, C/G) per row (torch GroupNorm((N, C, T))) ------
     # Two-pass variance (E[(x-mean)^2], not E[x^2]-E[x]^2): the one-pass
     # cancellation under bf16-truncated MXU passes went NEGATIVE for rows
@@ -199,7 +211,8 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        exact: Optional[bool] = None,
                        interpret: Optional[bool] = None,
                        vmem_limit_mb: Optional[int] = None,
-                       packed_input: bool = False):
+                       packed_input: bool = False,
+                       tail_affine: Optional[tuple] = None):
     """Fused L-TAE forward.
 
     x: TIME-MAJOR (B, T, N, C) rows (N = H*W — a free reshape of the model's
@@ -215,6 +228,14 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     (…, N, C) array to (…, N/2, 2C) inside XLA is NOT free — 64-lane bf16
     arrays are stored lane-padded in HBM, so the reshape is a physical
     relayout (~8 ms for the 1 GB flagship tensor, erasing the win).
+
+    tail_affine: optional (sc, sh) of shape (B, T, C_x) fp32 — a deferred
+    per-frame affine (the producing conv tail's GroupNorm, with the pad
+    mask folded in as zeroed rows) applied as ``max(x*sc+sh, 0)`` in VMEM
+    right after the block DMA. C_x is x's LAST dim as passed (2C when
+    packed_input). This removes the producer's materialized normalized
+    copy: the XLA tail shrinks to conv-out write + stats read, saving the
+    normalize read+write (~2 GB on the flagship in_conv tail).
 
     Returns (out (B, N, d_out), attn (B, N, n_head, T) or None).
     exact=None: fp32 matmuls for fp32 inputs, native-dtype (bf16) matmuls
@@ -295,7 +316,9 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
         r //= 2
     grid = (b, n // r)
 
-    kernel = functools.partial(_kernel, n_head=g_eff, eps=eps, exact=exact)
+    kernel = functools.partial(_kernel, n_head=g_eff, eps=eps, exact=exact,
+                               tail=tail_affine is not None,
+                               need_attn=need_attn)
 
     def vec(_=None):  # whole small tensor resident in VMEM
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -310,6 +333,16 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                      memory_space=pltpu.VMEM),
         vec(), vec(), vec(), vec(),
     ]
+    inputs = [x, pe.astype(jnp.float32),
+              win, bin_.astype(jnp.float32), ws, pes,
+              wm, bm.astype(jnp.float32), osc, obi]
+    if tail_affine is not None:
+        tsc, tsh = tail_affine
+        assert tsc.shape == (b, t, c) and tsh.shape == (b, t, c), (
+            tsc.shape, tsh.shape, (b, t, c))
+        in_specs += [pl.BlockSpec((1, t, c), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        inputs += [tsc.astype(jnp.float32), tsh.astype(jnp.float32)]
     out_specs = [pl.BlockSpec((1, r, d_out), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, n, d_out), x.dtype)]
@@ -318,8 +351,6 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                                       lambda i, j: (i, j, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, n, g_eff, t), jnp.float32))
-    else:
-        kernel = functools.partial(kernel, attn_ref=None)
 
     kw = {}
     if vmem_limit_mb is not None and not interpret:
@@ -333,9 +364,7 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
         out_shape=out_shape,
         interpret=interpret,
         **kw,
-    )(x, pe.astype(jnp.float32),
-      win, bin_.astype(jnp.float32), ws, pes,
-      wm, bm.astype(jnp.float32), osc, obi)
+    )(*inputs)
     # unpack: (B, N/2, 2*d) and (B, N/2, 2G, T) are the SAME memory as
     # (B, N, d) / (B, N, G, T) — free reinterpret, inverse of the x view.
     out = res[0].reshape(b, n_orig, d_out // (2 if pack else 1))

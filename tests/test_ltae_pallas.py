@@ -106,6 +106,59 @@ def test_fused_packed_input_matches():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_tail_affine_matches_preapplied():
+    """tail_affine (deferred conv-tail GroupNorm applied in-kernel as
+    max(x*sc+sh, 0)) must equal pre-applying the same affine outside and
+    calling the kernel without it — exactly, in fp32 interpret mode."""
+    m, variables, x, dates, pad = _setup()
+    pe = m.bind(variables).positional_encoder(dates)
+    rows = x.reshape(B, T, H * W, C)
+    params = params_from_ltae_variables(variables, n_head=N_HEAD)
+    key = jax.random.PRNGKey(7)
+    sc = 1.0 + 0.2 * jax.random.normal(key, (B, T, C))
+    sh = 0.1 * jax.random.normal(jax.random.PRNGKey(8), (B, T, C))
+    # fold the pad mask in as zeroed rows (the model does the same)
+    valid = (~pad).astype(jnp.float32)[:, :, None]
+    sc, sh = sc * valid, sh * valid
+    pre = jnp.maximum(rows * sc[:, :, None, :] + sh[:, :, None, :], 0.0)
+    out_ref, attn_ref = ltae_fused_forward(
+        pre, pe, pad, params, n_head=N_HEAD, d_k=D_K, row_block=32,
+        interpret=True)
+    out, attn = ltae_fused_forward(
+        rows, pe, pad, params, n_head=N_HEAD, d_k=D_K, row_block=32,
+        interpret=True, tail_affine=(sc, sh))
+    # out tolerance: XLA may fuse the outside x*sc+sh into an FMA while the
+    # in-kernel apply rounds the product — a 1-ulp input difference that this
+    # config's degenerate 2-channel out-GN groups (outputs pinned at +-1)
+    # amplify. Same phenomenon as test_fused_packed_input_matches.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_tail_affine_packed_matches():
+    """tail_affine composed with packed_input: equals pre-applied unpacked."""
+    m, variables, x, dates, pad = _setup()
+    pe = m.bind(variables).positional_encoder(dates)
+    rows = x.reshape(B, T, H * W, C)
+    params = params_from_ltae_variables(variables, n_head=N_HEAD)
+    sc = 1.0 + 0.2 * jax.random.normal(jax.random.PRNGKey(7), (B, T, 2 * C))
+    sh = 0.1 * jax.random.normal(jax.random.PRNGKey(8), (B, T, 2 * C))
+    packed = rows.reshape(B, T, H * W // 2, 2 * C)
+    pre = jnp.maximum(packed * sc[:, :, None, :] + sh[:, :, None, :], 0.0)
+    out_ref, _ = ltae_fused_forward(
+        pre, pe, pad, params, n_head=N_HEAD, d_k=D_K, row_block=32,
+        interpret=True, packed_input=True, need_attn=False)
+    out, _ = ltae_fused_forward(
+        packed, pe, pad, params, n_head=N_HEAD, d_k=D_K, row_block=32,
+        interpret=True, packed_input=True, need_attn=False,
+        tail_affine=(sc, sh))
+    # tolerance: see test_fused_tail_affine_matches_preapplied
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_timeunet_use_pallas_matches():
     """TimeUNet with use_pallas=True must match the XLA path end-to-end."""
     from crop2seg_tpu.models import TimeUNet

@@ -114,3 +114,21 @@ def test_packed_tail_conv_layer_matches():
     assert got.shape == (3, 8, 5, 16)
     np.testing.assert_allclose(got.reshape(want.shape), want,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_defer_tail_norm_matches_applied():
+    """ConvLayer(packed_tail=True, defer_tail_norm=True) returns
+    (z_raw, sc, sh) whose deferred apply max(z*sc+sh, 0) equals the
+    non-deferred packed tail output."""
+    from crop2seg_tpu.nn.layers import ConvLayer
+
+    m = ConvLayer(nkernels=(4, 8, 8), norm="group",
+                  padding_mode="reflect", conv_type="2d")
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 8, 10, 4), jnp.float32)
+    v = m.init(jax.random.PRNGKey(5), x, False)
+    want = np.asarray(m.apply(v, x, False, packed_tail=True))
+    z, sc, sh = m.apply(v, x, False, True, True)
+    assert z.shape == (3, 8, 5, 16) and sc.shape == (3, 16)
+    got = np.maximum(np.asarray(z) * np.asarray(sc)[:, None, None, :]
+                     + np.asarray(sh)[:, None, None, :], 0.0)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
