@@ -79,12 +79,20 @@ class TimeUNet(nn.Module):
             down_block = nn.remat(DownConvBlock, static_argnums=(2,))
             up_block = nn.remat(UpConvBlock, static_argnums=(3,))
 
-        # Lane-packed handoff to the fused L-TAE kernel: when the fused path
-        # will run (mirror of LTAE.__call__'s gate), the in_conv tail emits
-        # (B, T, H, W/2, 2C) natively via the pair conv — full-width lanes
-        # for the kernel's DMA, no relayout (nn/layers.py packed_tail).
-        use_packed = (self.use_pallas and not train and self.num_queries == 1
-                      and not self.is_initializing()
+        # Lane-packed handoff to the fused L-TAE kernels: when a fused path
+        # will run (mirror of LTAE.__call__'s gates, in its routing order),
+        # the in_conv tail emits (B, T, H, W/2, 2C) natively via the pair
+        # conv — full-width lanes for the kernel's DMA, no relayout
+        # (nn/layers.py packed_tail) — and defers its GroupNorm+ReLU into
+        # the kernel. Covers BOTH the eval kernel (use_pallas) and the
+        # custom-VJP train pair (use_pallas_train; ltae_pool_tail).
+        fused_eval = (self.use_pallas and not train
+                      and self.num_queries == 1
+                      and not self.is_initializing())
+        fused_train = (not fused_eval and self.use_pallas_train
+                       and not return_att and self.num_queries == 1
+                       and not self.is_initializing())
+        use_packed = ((fused_eval or fused_train)
                       and self.encoder_norm == "group"
                       and self.padding_mode == "reflect"
                       and self.conv_type == "2d"

@@ -271,14 +271,24 @@ class LTAE(nn.Module):
                 else attn.reshape(b, hh, ww, self.n_head, t))
 
     def _fused_train(self, x: jax.Array, batch_positions: jax.Array | None,
-                     pad_mask: jax.Array | None, train: bool):
+                     pad_mask: jax.Array | None, train: bool,
+                     input_packed: bool = False, tail_affine=None):
         """Training path through the custom-VJP kernel pair
-        (ops/ltae_pallas_train.ltae_pool). The parameter folds below are
-        plain jnp, so gradients reach the raw module parameters by the
-        chain rule; the XLA _mlp_tail handles MLP/BN/dropout/out-GN."""
-        from crop2seg_tpu.ops.ltae_pallas_train import ltae_pool
+        (ops/ltae_pallas_train.ltae_pool / ltae_pool_tail). The parameter
+        folds below are plain jnp, so gradients reach the raw module
+        parameters by the chain rule; the XLA _mlp_tail handles
+        MLP/BN/dropout/out-GN.
+
+        input_packed: x is LANE-PACKED (B, T, H, W/2, 2C) straight from the
+        pair-conv producer; tail_affine: (sc, sh) of (B, T, 2C) — that
+        producer's deferred GroupNorm affine, applied in-kernel with its
+        grads emitted fused (ops/ltae_pallas_train.ltae_pool_tail)."""
+        from crop2seg_tpu.ops.ltae_pallas_train import (
+            ltae_pool, ltae_pool_tail)
 
         b, t, hh, ww, c = x.shape
+        if input_packed:
+            ww, c = 2 * ww, c // 2  # logical pixels / true channels
         d_model = self.d_model
         pe = (self._pe(batch_positions) if self.positional_encoding
               else jnp.zeros((b, t, d_model), jnp.float32))
@@ -303,9 +313,20 @@ class LTAE(nn.Module):
         else:
             seed = jnp.zeros((1,), jnp.int32)
             drop_p = 0.0
-        o = ltae_pool(x.reshape(b, t, hh * ww, c), pe, pad_mask,
-                      win_f, bin_f, u, cs, seed,
-                      n_head=self.n_head, drop_p=drop_p)
+        if tail_affine is not None:
+            assert input_packed, "tail_affine requires the packed producer"
+            rows = x.reshape(b, t, hh * ww // 2, 2 * c)
+            o = ltae_pool_tail(rows, tail_affine[0], tail_affine[1], pe,
+                               pad_mask, win_f, bin_f, u, cs, seed,
+                               n_head=self.n_head, drop_p=drop_p,
+                               packed_input=True)
+        else:
+            assert not input_packed, (
+                "packed input without tail_affine is unsupported on the "
+                "train path (the producer always defers its tail norm)")
+            o = ltae_pool(x.reshape(b, t, hh * ww, c), pe, pad_mask,
+                          win_f, bin_f, u, cs, seed,
+                          n_head=self.n_head, drop_p=drop_p)
         out = o.reshape(b, hh, ww, d_model)
         out = self._mlp_tail(out[:, :, :, None, :], train)
         return out[:, :, :, 0, :], None
@@ -446,11 +467,13 @@ class LTAE(nn.Module):
             return self._fused(x, batch_positions, pad_mask,
                                need_attn=need_attn, input_packed=input_packed,
                                tail_affine=tail_affine)
-        assert not input_packed and tail_affine is None, (
-            "input_packed/tail_affine require the fused path")
         if (self.use_pallas_train and not need_attn and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
-            return self._fused_train(x, batch_positions, pad_mask, train)
+            return self._fused_train(x, batch_positions, pad_mask, train,
+                                     input_packed=input_packed,
+                                     tail_affine=tail_affine)
+        assert not input_packed and tail_affine is None, (
+            "input_packed/tail_affine require a fused path")
         if (self.seq_chunk and not need_attn and self.num_queries == 1
                 and self.d_model is not None and not self.is_initializing()):
             return self._chunked(x, batch_positions, pad_mask, train)

@@ -69,13 +69,23 @@ def _mm(a, b, exact: bool, out_dt=jnp.float32):
 
 
 def _embed_block(x, mask_col, win_ref, bin_ref, pe_ref, *, g: int, eps: float,
-                 exact: bool, cdt):
-    """Shared fwd/bwd recompute: GN (two-pass, affine folded into W) ->
-    1x1 projection -> +PE. Returns (xhat (T,R,C) f32, inv_big (R,C) f32,
-    h (T,R,D) cdt, h2 (T*R, D))."""
+                 exact: bool, cdt, tail=None):
+    """Shared fwd/bwd recompute: [deferred conv-tail affine+ReLU ->] GN
+    (two-pass, affine folded into W) -> 1x1 projection -> +PE. Returns
+    (xf (T,R,C) f32, xhat (T,R,C) f32, inv_big (R,C) f32, h (T,R,D) cdt,
+    h2 (T*R, D)).
+
+    tail: optional (tsc, tsh) each (T, C) f32 — the producing conv tail's
+    deferred GroupNorm affine (nn/layers.py defer_tail_norm): the kernel
+    input is then the RAW pair-conv output z and xf = max(z*tsc+tsh, 0) is
+    applied in VMEM right after the block DMA, saving the materialized
+    normalized copy in HBM (see ops/ltae_pallas.py tail_affine)."""
     t, r, c = x.shape
     sg_c = _grouping(c, g)
     xf = x.astype(jnp.float32)
+    if tail is not None:
+        tsc, tsh = tail
+        xf = jnp.maximum(xf * tsc[:, None, :] + tsh[:, None, :], 0.0)
     cnt = float(t * (c // g))
     sum_t = jnp.sum(xf, axis=0)                                  # (R, C)
     mean_big = _mm(_mm(sum_t, sg_c, exact) / cnt, sg_c.T, exact)  # (R, C)
@@ -88,7 +98,7 @@ def _embed_block(x, mask_col, win_ref, bin_ref, pe_ref, *, g: int, eps: float,
     h = _mm(xhat.reshape(t * r, c).astype(cdt), win_ref[:].astype(cdt),
             exact) + bin_ref[:][None]
     h = (h.reshape(t, r, d_model) + pe_ref[0][:, None, :]).astype(cdt)
-    return xhat, inv_big, h, h.reshape(t * r, d_model)
+    return xf, xhat, inv_big, h, h.reshape(t * r, d_model)
 
 
 def _attn_weights(xhat, pe_ref, mask_col, win_ref, bin_ref, u_ref, cs_ref,
@@ -142,15 +152,24 @@ def _keep_mask(seed_ref, drop_p: float, shape):
 
 
 def _fwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
-                u_ref, cs_ref, o_ref, *, n_head: int, eps: float,
-                exact: bool, drop_p: float):
+                u_ref, cs_ref, *rest, n_head: int, eps: float,
+                exact: bool, drop_p: float, tail: bool):
+    # optional trailing inputs (tail=True): tsc/tsh (1, T, C) — the deferred
+    # conv-tail GroupNorm affine (see _embed_block).
+    if tail:
+        tail_refs = (rest[0][0], rest[1][0])
+        rest = rest[2:]
+    else:
+        tail_refs = None
+    o_ref = rest[0]
     t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     cdt = jnp.float32 if exact else x_ref.dtype
     g = n_head
     d_model = win_ref.shape[1]
 
-    xhat, _, h, h2 = _embed_block(x_ref[0], mask_ref[0], win_ref, bin_ref,
-                                  pe_ref, g=g, eps=eps, exact=exact, cdt=cdt)
+    _, xhat, _, h, h2 = _embed_block(
+        x_ref[0], mask_ref[0], win_ref, bin_ref, pe_ref,
+        g=g, eps=eps, exact=exact, cdt=cdt, tail=tail_refs)
     a = _attn_weights(xhat, pe_ref, mask_ref[0], win_ref, bin_ref, u_ref,
                       cs_ref, t=t, r=r, g=g, exact=exact, cdt=cdt)
     if drop_p > 0.0:
@@ -164,9 +183,19 @@ def _fwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
 
 
 def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
-                u_ref, cs_ref, go_ref,
-                dx_ref, dpe_ref, dwin_ref, dbin_ref, du_ref, dcs_ref,
-                *, n_head: int, eps: float, exact: bool, drop_p: float):
+                u_ref, cs_ref, *rest,
+                n_head: int, eps: float, exact: bool, drop_p: float,
+                tail: bool):
+    if tail:
+        tsc_ref, tsh_ref = rest[0], rest[1]
+        rest = rest[2:]
+        tail_refs = (tsc_ref[0], tsh_ref[0])
+    else:
+        tail_refs = None
+    go_ref = rest[0]
+    dx_ref, dpe_ref, dwin_ref, dbin_ref, du_ref, dcs_ref = rest[1:7]
+    if tail:
+        dtsc_ref, dtsh_ref = rest[7], rest[8]
     t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     cdt = jnp.float32 if exact else x_ref.dtype
     g = n_head
@@ -175,9 +204,9 @@ def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
     sg_c = _grouping(c, g)
     sg_d = _grouping(d_model, g)
 
-    xhat, inv_big, h, h2 = _embed_block(
+    xf, xhat, inv_big, h, h2 = _embed_block(
         x_ref[0], mask_ref[0], win_ref, bin_ref, pe_ref,
-        g=g, eps=eps, exact=exact, cdt=cdt)
+        g=g, eps=eps, exact=exact, cdt=cdt, tail=tail_refs)
     a = _attn_weights(xhat, pe_ref, mask_ref[0], win_ref, bin_ref, u_ref,
                       cs_ref, t=t, r=r, g=g, exact=exact, cdt=cdt)
     if drop_p > 0.0:
@@ -231,7 +260,27 @@ def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
     m2 = _mm(jnp.sum(dxhat * xhat, axis=0), sg_c, exact) / n     # (R, G)
     corr = (dxhat - _mm(m1, sg_c.T, exact)[None]
             - xhat * _mm(m2, sg_c.T, exact)[None])
-    dx_ref[0] = (corr * inv_big[None]).astype(dx_ref.dtype)
+    dxf = corr * inv_big[None]                                   # (T, R, C)
+    if not tail:
+        dx_ref[0] = dxf.astype(dx_ref.dtype)
+        return
+    # --- deferred conv-tail backward ---------------------------------------
+    # xf = max(z*tsc+tsh, 0): dz = dxf*tsc*1[xf>0]; the per-(t, c) affine
+    # grads sum over the block's rows and accumulate across grid steps like
+    # dpe (xf>0 == pre>0 except at pre==0 where the subgradient is 0 anyway).
+    relu_m = (xf > 0.0).astype(jnp.float32)                      # (T, R, C)
+    live = dxf * relu_m
+    tsc, _ = tail_refs
+    dx_ref[0] = (live * tsc[:, None, :]).astype(dx_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init_tail():
+        dtsc_ref[:] = jnp.zeros_like(dtsc_ref)
+        dtsh_ref[:] = jnp.zeros_like(dtsh_ref)
+
+    zf = x_ref[0].astype(jnp.float32)
+    dtsc_ref[0] += jnp.sum(live * zf, axis=1)                    # (T, C)
+    dtsh_ref[0] += jnp.sum(live, axis=1)                         # (T, C)
 
 
 def _vmem_kw(interpret: bool) -> dict:
@@ -256,18 +305,24 @@ def _bd2(a: jax.Array) -> jax.Array:
                             jnp.concatenate([z, a], 1)], 0)
 
 
-def _pack2(x, pe, win_f, bin_f, u, cs):
-    """Pack 2 pixels per lane row (see ops/ltae_pallas.py v3.1 note): view
-    x (B, T, N, C) as (B, T, N/2, 2C) — a free reinterpret — and
-    block-diagonalize every per-pixel weight / tile every per-head table.
-    The kernels then run the identical per-pixel math at full 128-lane
-    width (C=64 on lanes leaves bf16 tiles half-empty: ~1.45x measured).
-    """
-    b, t, n, c = x.shape
-    return (x.reshape(b, t, n // 2, 2 * c),
-            jnp.concatenate([pe, pe], axis=-1),
+def _pack_tables(pe, win_f, bin_f, u, cs):
+    """Lane-packing weight transform: block-diagonalize every per-pixel
+    weight / tile every per-head table so the kernels run the identical
+    per-pixel math on (N/2, 2C) rows at full 128-lane width."""
+    return (jnp.concatenate([pe, pe], axis=-1),
             _bd2(win_f), jnp.concatenate([bin_f] * 2), _bd2(u),
             jnp.concatenate([cs, cs], axis=1))
+
+
+def _pack2(x, pe, win_f, bin_f, u, cs):
+    """Pack 2 pixels per lane row (see ops/ltae_pallas.py v3.1 note): view
+    x (B, T, N, C) as (B, T, N/2, 2C) — a free reinterpret — and transform
+    the weights via _pack_tables (C=64 on lanes leaves bf16 tiles
+    half-empty: ~1.45x measured).
+    """
+    b, t, n, c = x.shape
+    return (x.reshape(b, t, n // 2, 2 * c),) + _pack_tables(
+        pe, win_f, bin_f, u, cs)
 
 
 def _pick_block(n: int, want: int) -> int:
@@ -326,20 +381,60 @@ def ltae_pool(x, pe, pad_mask, win_f, bin_f, u, cs, seed,
     return o
 
 
-def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
-             interpret, exact):
+def _prep_pack(x, pe, win_f, bin_f, u, cs, n_head, tail, packed_input):
+    """Shared fwd/bwd packing prep. Returns (x, pe, win_f, bin_f, u, cs,
+    tail, n_head_eff, pack, n, c, n_orig, d_orig) with x/tail in the layout
+    the kernels consume.
+
+    packed_input: x (and tail) ALREADY arrive lane-packed as (B, T, N/2, 2C)
+    from a pair-conv producer (nn/layers.py packed_tail) — only the weights
+    are transformed; no HBM relayout of the big tensor.
+    """
     b, t, n, c = x.shape
-    n_orig, d_orig = n, win_f.shape[1]
+    d_orig = win_f.shape[1]
+    if packed_input:
+        n_orig = 2 * n
+        pe, win_f, bin_f, u, cs = _pack_tables(pe, win_f, bin_f, u, cs)
+        return (x, pe, win_f, bin_f, u, cs, tail, 2 * n_head, True,
+                n, c, n_orig, d_orig)
+    n_orig = n
     pack = n % 2 == 0 and n >= 4
     if pack:
         x, pe, win_f, bin_f, u, cs = _pack2(x, pe, win_f, bin_f, u, cs)
         n, c = n // 2, 2 * c
         n_head *= 2
+        if tail is not None:
+            # both packed pixels share the per-(t, channel) affine
+            tail = (jnp.concatenate([tail[0]] * 2, axis=-1),
+                    jnp.concatenate([tail[1]] * 2, axis=-1))
+    return (x, pe, win_f, bin_f, u, cs, tail, n_head, pack,
+            n, c, n_orig, d_orig)
+
+
+def _tail_spec(t, c):
+    return pl.BlockSpec((1, t, c), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
+             interpret, exact, tail=None, packed_input=False):
+    b, t = x.shape[:2]
+    (x, pe, win_f, bin_f, u, cs, tail, n_head, pack,
+     n, c, n_orig, d_orig) = _prep_pack(
+        x, pe, win_f, bin_f, u, cs, n_head, tail, packed_input)
     d_model = win_f.shape[1]
     r = _pick_block(n, _block_want(exact, pack))
     seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
+    inputs = [jnp.asarray(seed, jnp.int32).reshape(1), x,
+              pe.astype(jnp.float32), mask_f, win_f,
+              bin_f.astype(jnp.float32), u.astype(jnp.float32),
+              cs.astype(jnp.float32)]
+    if tail is not None:
+        in_specs += [_tail_spec(t, c)] * 2
+        inputs += [tail[0].astype(jnp.float32), tail[1].astype(jnp.float32)]
     kernel = functools.partial(_fwd_kernel, n_head=n_head, eps=1e-5,
-                               exact=exact, drop_p=drop_p)
+                               exact=exact, drop_p=drop_p,
+                               tail=tail is not None)
     o = pl.pallas_call(
         kernel,
         grid=(b, n // r),
@@ -349,9 +444,7 @@ def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
         out_shape=jax.ShapeDtypeStruct((b, n, d_model), x.dtype),
         interpret=interpret,
         **_vmem_kw(interpret),
-    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
-      mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
-      cs.astype(jnp.float32))
+    )(*inputs)
     # (B, N/2, 2D) is the same memory as (B, N, D): free reinterpret back
     return o.reshape(b, n_orig, d_orig)
 
@@ -367,26 +460,35 @@ def _ltae_pool_fwd(x, pe, pad_mask, win_f, bin_f, u, cs, seed,
     return o, (x, pe, mask_f, win_f, bin_f, u, cs, seed)
 
 
-def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
+def _run_bwd(res, go, n_head, drop_p, interpret, tail=None,
+             packed_input=False):
     x, pe, mask_f, win_f, bin_f, u, cs, seed = res
     if interpret is None:
         interpret = _interpret_default()
     exact = x.dtype == jnp.float32
-    b, t, n, c = x.shape
-    n_orig, c_orig, d_orig, g_orig = n, c, win_f.shape[1], n_head
-    pack = n % 2 == 0 and n >= 4
-    if pack:
-        x, pe, win_f, bin_f, u, cs = _pack2(x, pe, win_f, bin_f, u, cs)
-        go = go.reshape(b, n // 2, 2 * d_orig)  # free reinterpret
-        n, c = n // 2, 2 * c
-        n_head *= 2
+    b, t = x.shape[:2]
+    c_in, g_orig = x.shape[3], n_head
+    (x, pe, win_f, bin_f, u, cs, tail, n_head, pack,
+     n, c, n_orig, d_orig) = _prep_pack(
+        x, pe, win_f, bin_f, u, cs, n_head, tail, packed_input)
+    if pack and not packed_input:
+        go = go.reshape(b, n, 2 * d_orig)  # free reinterpret
     d_model = win_f.shape[1]
     r = _pick_block(n, _block_want(exact, pack))
     seed_spec, in_specs = _specs(b, t, n, r, c, d_model, n_head)
+    inputs = [jnp.asarray(seed, jnp.int32).reshape(1), x,
+              pe.astype(jnp.float32), mask_f, win_f,
+              bin_f.astype(jnp.float32), u.astype(jnp.float32),
+              cs.astype(jnp.float32)]
+    if tail is not None:
+        in_specs += [_tail_spec(t, c)] * 2
+        inputs += [tail[0].astype(jnp.float32), tail[1].astype(jnp.float32)]
     in_specs.append(pl.BlockSpec((1, r, d_model), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM))
+    inputs.append(go)
     kernel = functools.partial(_bwd_kernel, n_head=n_head, eps=1e-5,
-                               exact=exact, drop_p=drop_p)
+                               exact=exact, drop_p=drop_p,
+                               tail=tail is not None)
     out_specs = [
         pl.BlockSpec((1, t, r, c), lambda i, j: (i, 0, j, 0),
                      memory_space=pltpu.VMEM),
@@ -409,7 +511,10 @@ def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
         jax.ShapeDtypeStruct((d_model, n_head), jnp.float32),
         jax.ShapeDtypeStruct((1, n_head), jnp.float32),
     ]
-    dx, dpe, dwin, dbin, du, dcs = pl.pallas_call(
+    if tail is not None:
+        out_specs += [_tail_spec(t, c)] * 2
+        out_shape += [jax.ShapeDtypeStruct((b, t, c), jnp.float32)] * 2
+    res_out = pl.pallas_call(
         kernel,
         grid=(b, n // r),
         in_specs=[seed_spec] + in_specs,
@@ -417,27 +522,100 @@ def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
         out_shape=out_shape,
         interpret=interpret,
         **_vmem_kw(interpret),
-    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
-      mask_f, win_f, bin_f.astype(jnp.float32), u.astype(jnp.float32),
-      cs.astype(jnp.float32), go)
-    if pack:
+    )(*inputs)
+    dx, dpe, dwin, dbin, du, dcs = res_out[:6]
+    dtail = res_out[6:8] if tail is not None else None
+    if pack and not packed_input:
         # unpack the gradients: the packing map is linear (block-diag embed
         # of weights, channel-duplicate of pe/bias), so its transpose sums
         # each parameter's two diagonal blocks / halves; the off-diagonal
         # cross-pixel blocks belong to constructed zeros and are dropped.
         d, g = d_orig, g_orig
-        dx = dx.reshape(b, t, n_orig, c_orig)          # free reinterpret
+        dx = dx.reshape(b, t, n_orig, c_in)            # free reinterpret
         dpe = dpe[:, :, :d] + dpe[:, :, d:]
-        dwin = dwin[:c_orig, :d] + dwin[c_orig:, d:]
+        dwin = dwin[:c_in, :d] + dwin[c_in:, d:]
         dbin = dbin[:, :d] + dbin[:, d:]
         du = du[:d, :g] + du[d:, g:]
         dcs = dcs[:, :g] + dcs[:, g:]
+        if dtail is not None:
+            dtail = (dtail[0][:, :, :c_in] + dtail[0][:, :, c_in:],
+                     dtail[1][:, :, :c_in] + dtail[1][:, :, c_in:])
+    elif packed_input:
+        # weights were passed UNPACKED by the caller: fold their packed
+        # grads back; dx/dtail keep the caller's packed layout.
+        d, g = d_orig, g_orig
+        dpe = dpe[:, :, :d] + dpe[:, :, d:]
+        dwin = dwin[:c_in // 2, :d] + dwin[c_in // 2:, d:]
+        dbin = dbin[:, :d] + dbin[:, d:]
+        du = du[:d, :g] + du[d:, g:]
+        dcs = dcs[:, :g] + dcs[:, g:]
+    return dx, dpe, dwin, dbin, du, dcs, dtail
+
+
+def _ltae_pool_bwd(n_head, drop_p, interpret, res, go):
+    x, pe, mask_f, win_f, bin_f, u, cs, seed = res
+    dx, dpe, dwin, dbin, du, dcs, _ = _run_bwd(res, go, n_head, drop_p,
+                                               interpret)
     return (dx, dpe.astype(pe.dtype), None, dwin.astype(win_f.dtype),
             dbin[0].astype(bin_f.dtype), du.astype(u.dtype),
             dcs.astype(cs.dtype), None)
 
 
 ltae_pool.defvjp(_ltae_pool_fwd, _ltae_pool_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def ltae_pool_tail(x, tsc, tsh, pe, pad_mask, win_f, bin_f, u, cs, seed,
+                   n_head: int = 16, drop_p: float = 0.0,
+                   interpret: Optional[bool] = None,
+                   packed_input: bool = False):
+    """``ltae_pool`` with the producing conv tail's GroupNorm DEFERRED into
+    the kernels: the input x is the RAW pair-conv output z and the kernels
+    apply xf = max(z*tsc+tsh, 0) in VMEM right after the block DMA — the
+    normalized copy is never materialized in HBM, in either direction
+    (the backward kernel emits dz plus the (B, T, C) affine grads fused).
+
+    tsc/tsh: (B, T, C_x) f32 with C_x = x's LAST dim as passed — the
+    per-frame GroupNorm affine from nn/layers.py ``defer_tail_norm`` (pad
+    frames folded in as zeroed rows; see models/timeunet.py). Their grads
+    flow back to the producer's stats/params by XLA autodiff outside.
+
+    packed_input: x arrives LANE-PACKED as (B, T, N/2, 2C) straight from the
+    pair conv — no relayout anywhere on the training path.
+    """
+    o, _ = _ltae_pool_tail_fwd(x, tsc, tsh, pe, pad_mask, win_f, bin_f, u,
+                               cs, seed, n_head, drop_p, interpret,
+                               packed_input)
+    return o
+
+
+def _ltae_pool_tail_fwd(x, tsc, tsh, pe, pad_mask, win_f, bin_f, u, cs,
+                        seed, n_head, drop_p, interpret, packed_input):
+    if interpret is None:
+        interpret = _interpret_default()
+    exact = x.dtype == jnp.float32
+    mask_f = pad_mask.astype(jnp.float32)[:, :, None]            # (B, T, 1)
+    o = _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
+                 interpret, exact, tail=(tsc, tsh),
+                 packed_input=packed_input)
+    return o, (x, tsc, tsh, pe, mask_f, win_f, bin_f, u, cs, seed)
+
+
+def _ltae_pool_tail_bwd(n_head, drop_p, interpret, packed_input, res, go):
+    x, tsc, tsh, pe, mask_f, win_f, bin_f, u, cs, seed = res
+    if packed_input:
+        b, t, n2, c2 = x.shape
+        go = go.reshape(b, n2, 2 * win_f.shape[1])     # free reinterpret
+    dx, dpe, dwin, dbin, du, dcs, dtail = _run_bwd(
+        (x, pe, mask_f, win_f, bin_f, u, cs, seed), go, n_head, drop_p,
+        interpret, tail=(tsc, tsh), packed_input=packed_input)
+    return (dx, dtail[0].astype(tsc.dtype), dtail[1].astype(tsh.dtype),
+            dpe.astype(pe.dtype), None, dwin.astype(win_f.dtype),
+            dbin[0].astype(bin_f.dtype), du.astype(u.dtype),
+            dcs.astype(cs.dtype), None)
+
+
+ltae_pool_tail.defvjp(_ltae_pool_tail_fwd, _ltae_pool_tail_bwd)
 
 
 def ltae_pool_reference(x, pe, pad_mask, win_f, bin_f, u, cs,

@@ -142,3 +142,155 @@ def test_ltae_module_use_pallas_train_matches_xla():
         np.testing.assert_allclose(
             np.asarray(bq), np.asarray(a), rtol=5e-4, atol=1e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+# ---------------------------------------------------------------------------
+# ltae_pool_tail: deferred conv-tail GroupNorm affine applied in-kernel
+# ---------------------------------------------------------------------------
+def _tail_inputs(seed=3):
+    x, pe, mask, win, bin_, u, cs = _inputs(seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    tsc = jnp.asarray(1.0 + 0.2 * rng.standard_normal((B, T, C)), jnp.float32)
+    tsh = jnp.asarray(0.1 * rng.standard_normal((B, T, C)), jnp.float32)
+    # fold the pad mask in as zeroed rows (the model does the same)
+    valid = (~mask).astype(jnp.float32)[:, :, None]
+    return x, tsc * valid, tsh * valid, pe, mask, win, bin_, u, cs
+
+
+def test_tail_forward_matches_preapplied():
+    from crop2seg_tpu.ops.ltae_pallas_train import ltae_pool_tail
+
+    x, tsc, tsh, pe, mask, win, bin_, u, cs = _tail_inputs()
+    pre = jnp.maximum(x * tsc[:, :, None, :] + tsh[:, :, None, :], 0.0)
+    want = ltae_pool(pre, pe, mask, win, bin_, u, cs, SEED0, n_head=G)
+    got = ltae_pool_tail(x, tsc, tsh, pe, mask, win, bin_, u, cs, SEED0,
+                         n_head=G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tail_backward_matches_autodiff():
+    """The fused dz/dtsc/dtsh (plus all parameter grads) must match jax.grad
+    of the pure-XLA oracle with the affine+ReLU applied outside."""
+    from crop2seg_tpu.ops.ltae_pallas_train import ltae_pool_tail
+
+    x, tsc, tsh, pe, mask, win, bin_, u, cs = _tail_inputs()
+    tgt = jnp.asarray(np.random.default_rng(9).standard_normal((B, N, D)),
+                      jnp.float32)
+
+    def loss_kernel(x, tsc, tsh, pe, win, bin_, u, cs):
+        o = ltae_pool_tail(x, tsc, tsh, pe, mask, win, bin_, u, cs, SEED0,
+                           n_head=G)
+        return jnp.sum((o - tgt) ** 2) / o.size
+
+    def loss_ref(x, tsc, tsh, pe, win, bin_, u, cs):
+        # where-form ReLU: subgradient 0 at exact ties, the kernel's (and
+        # torch's) convention. jnp.maximum splits ties 50/50, which differs
+        # ONLY at pre==0 — i.e. the zeroed-affine pad rows of this fixture;
+        # in the model those grads are killed by the valid multiply anyway.
+        pre = x * tsc[:, :, None, :] + tsh[:, :, None, :]
+        pre = jnp.where(pre > 0, pre, 0.0)
+        o = ltae_pool_reference(pre, pe, mask, win, bin_, u, cs, n_head=G)
+        return jnp.sum((o - tgt) ** 2) / o.size
+
+    args = (x, tsc, tsh, pe, win, bin_, u, cs)
+    gk = jax.grad(loss_kernel, argnums=tuple(range(8)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    names = ("dx", "dtsc", "dtsh", "dpe", "dwin", "dbin", "du", "dcs")
+    for name, a, b in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"gradient mismatch for {name}")
+
+
+def test_tail_packed_input_matches_unpacked():
+    """packed_input (pair-conv native layout, affine already (B, T, 2C))
+    must equal the unpacked call — values and grads."""
+    from crop2seg_tpu.ops.ltae_pallas_train import ltae_pool_tail
+
+    x, tsc, tsh, pe, mask, win, bin_, u, cs = _tail_inputs(seed=5)
+    xp = x.reshape(B, T, N // 2, 2 * C)
+    tscp = jnp.concatenate([tsc] * 2, axis=-1)
+    tshp = jnp.concatenate([tsh] * 2, axis=-1)
+
+    def f_unpacked(x, tsc, tsh):
+        o = ltae_pool_tail(x, tsc, tsh, pe, mask, win, bin_, u, cs, SEED0,
+                           n_head=G)
+        return jnp.sum(o ** 2), o
+
+    def f_packed(xp, tscp, tshp):
+        o = ltae_pool_tail(xp, tscp, tshp, pe, mask, win, bin_, u, cs,
+                           SEED0, n_head=G, packed_input=True)
+        return jnp.sum(o ** 2), o
+
+    (lu, ou), gu = jax.value_and_grad(f_unpacked, argnums=(0, 1, 2),
+                                      has_aux=True)(x, tsc, tsh)
+    (lp, op), gp = jax.value_and_grad(f_packed, argnums=(0, 1, 2),
+                                      has_aux=True)(xp, tscp, tshp)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ou),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp[0].reshape(B, T, N, C)),
+                               np.asarray(gu[0]), rtol=2e-4, atol=2e-5)
+    # packed affine grads: each half carries the same-channel contribution
+    # of its pixel parity; their sum equals the unpacked grad
+    np.testing.assert_allclose(
+        np.asarray(gp[1][:, :, :C] + gp[1][:, :, C:]),
+        np.asarray(gu[1]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(gp[2][:, :, :C] + gp[2][:, :, C:]),
+        np.asarray(gu[2]), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_timeunet_use_pallas_train_matches_xla():
+    """TimeUNet(use_pallas_train=True) — which now routes the TRAIN path
+    through the packed pair-conv producer + deferred tail norm
+    (ltae_pool_tail) — must reproduce the plain-XLA TimeUNet loss and
+    parameter gradients (dropout off, fp32)."""
+    from crop2seg_tpu.models import TimeUNet
+    from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
+
+    b, t, hw = 2, 7, 8
+    kw = dict(input_dim=6, encoder_widths=(8, 8, 16), decoder_widths=(4, 8, 16),
+              out_conv=(8, 5), n_head=4, d_model=32, d_k=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, hw, hw, 6)), jnp.float32)
+    dates = jnp.asarray(
+        np.sort(rng.integers(0, 300, (b, t))).astype(np.float32))
+    mask = pad_mask_from_lengths(jnp.asarray([t, t - 2]), t)
+    # pads hold exactly pad_value=0 (the dataset contract)
+    x = x * (~mask).astype(jnp.float32)[:, :, None, None, None]
+
+    ref = TimeUNet(**kw)
+    variables = ref.init(jax.random.PRNGKey(0), x, dates, pad_mask=mask,
+                         train=False)
+    ker = TimeUNet(use_pallas_train=True, **kw)
+
+    # TimeUNet's inner LTAE carries the reference's fixed dropout rates, so
+    # train-mode RNG streams differ between the paths; eval mode turns
+    # dropout off deterministically while STILL routing through the packed
+    # producer + ltae_pool_tail custom-VJP (the use_pallas_train gate is
+    # mode-independent) — grads through the full fused backward are exact.
+    def make_loss(m):
+        def f(params):
+            out = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, dates, pad_mask=mask, train=False)
+            return jnp.mean(out ** 2)
+        return jax.value_and_grad(f)
+
+    v_ref, g_ref = make_loss(ref)(variables["params"])
+    v_ker, g_ker = make_loss(ker)(variables["params"])
+    np.testing.assert_allclose(float(v_ker), float(v_ref), rtol=1e-5)
+    fr = jax.tree_util.tree_leaves_with_path(g_ref)
+    fk = dict(jax.tree_util.tree_leaves_with_path(g_ker))
+    for path, a in fr:
+        bq = fk[path]
+        np.testing.assert_allclose(
+            np.asarray(bq), np.asarray(a), rtol=1e-3, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+    # (The train-mode dropout path uses the on-core TPU PRNG, which has no
+    # CPU interpret-mode lowering — it is exercised on hardware by bench.py
+    # and the /verify drive instead.)
