@@ -140,12 +140,23 @@ def _attn_weights(xhat, pe_ref, mask_col, win_ref, bin_ref, u_ref, cs_ref,
     return e / jnp.sum(e, axis=0, keepdims=True)                 # (T, R, G)
 
 
-def _keep_mask(seed_ref, drop_p: float, shape):
-    """Deterministic per-block dropout keep mask from the on-core PRNG.
-    The same seed (folded with the grid position) reproduces identical bits
-    in the backward kernel — the mask is never stored."""
+def _keep_mask(seed_ref, drop_p: float, shape, interpret: bool):
+    """Deterministic per-block dropout keep mask. The same seed (folded with
+    the grid position) reproduces identical bits in the backward kernel —
+    the mask is never stored.
+
+    On hardware the bits come from the TPU on-core PRNG. In interpret mode
+    (CPU tests / CPU meshes) that primitive has no lowering, so the mask is
+    derived from jax.random keyed by the same per-block counter — equally
+    deterministic across fwd/bwd, different bit pattern (dropout is random;
+    no contract ties the two streams together)."""
     i, j = pl.program_id(0), pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+    blk = seed_ref[0] + i * pl.num_programs(1) + j
+    if interpret:
+        key = jax.random.fold_in(jax.random.PRNGKey(0), blk)
+        return jax.random.bernoulli(key, 1.0 - drop_p, shape).astype(
+            jnp.float32)
+    pltpu.prng_seed(blk)
     bits = pltpu.prng_random_bits(shape)                         # uint32
     thresh = np.uint32(int(drop_p * float(2**32)))
     return (pltpu.bitcast(bits, jnp.uint32) >= thresh).astype(jnp.float32)
@@ -153,7 +164,7 @@ def _keep_mask(seed_ref, drop_p: float, shape):
 
 def _fwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
                 u_ref, cs_ref, *rest, n_head: int, eps: float,
-                exact: bool, drop_p: float, tail: bool):
+                exact: bool, drop_p: float, tail: bool, interpret: bool):
     # optional trailing inputs (tail=True): tsc/tsh (1, T, C) — the deferred
     # conv-tail GroupNorm affine (see _embed_block).
     if tail:
@@ -173,7 +184,8 @@ def _fwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
     a = _attn_weights(xhat, pe_ref, mask_ref[0], win_ref, bin_ref, u_ref,
                       cs_ref, t=t, r=r, g=g, exact=exact, cdt=cdt)
     if drop_p > 0.0:
-        a = a * _keep_mask(seed_ref, drop_p, a.shape) / (1.0 - drop_p)
+        a = a * _keep_mask(seed_ref, drop_p, a.shape,
+                           interpret) / (1.0 - drop_p)
     abig = _mm(a.reshape(t * r, g).astype(cdt),
                _grouping(d_model, g, cdt).T, exact).astype(cdt)
     # widening jnp.sum(bf16, dtype=f32) crashes Mosaic on v5e: cast first
@@ -185,7 +197,7 @@ def _fwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
 def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
                 u_ref, cs_ref, *rest,
                 n_head: int, eps: float, exact: bool, drop_p: float,
-                tail: bool):
+                tail: bool, interpret: bool):
     if tail:
         tsc_ref, tsh_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -210,7 +222,8 @@ def _bwd_kernel(seed_ref, x_ref, pe_ref, mask_ref, win_ref, bin_ref,
     a = _attn_weights(xhat, pe_ref, mask_ref[0], win_ref, bin_ref, u_ref,
                       cs_ref, t=t, r=r, g=g, exact=exact, cdt=cdt)
     if drop_p > 0.0:
-        keep_sc = _keep_mask(seed_ref, drop_p, a.shape) / (1.0 - drop_p)
+        keep_sc = _keep_mask(seed_ref, drop_p, a.shape,
+                             interpret) / (1.0 - drop_p)
         a_d = a * keep_sc
     else:
         keep_sc = None
@@ -434,7 +447,7 @@ def _run_fwd(x, pe, mask_f, win_f, bin_f, u, cs, seed, n_head, drop_p,
         inputs += [tail[0].astype(jnp.float32), tail[1].astype(jnp.float32)]
     kernel = functools.partial(_fwd_kernel, n_head=n_head, eps=1e-5,
                                exact=exact, drop_p=drop_p,
-                               tail=tail is not None)
+                               tail=tail is not None, interpret=interpret)
     o = pl.pallas_call(
         kernel,
         grid=(b, n // r),
@@ -488,7 +501,7 @@ def _run_bwd(res, go, n_head, drop_p, interpret, tail=None,
     inputs.append(go)
     kernel = functools.partial(_bwd_kernel, n_head=n_head, eps=1e-5,
                                exact=exact, drop_p=drop_p,
-                               tail=tail is not None)
+                               tail=tail is not None, interpret=interpret)
     out_specs = [
         pl.BlockSpec((1, t, r, c), lambda i, j: (i, 0, j, 0),
                      memory_space=pltpu.VMEM),

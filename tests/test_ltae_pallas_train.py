@@ -291,6 +291,17 @@ def test_timeunet_use_pallas_train_matches_xla():
             np.asarray(bq), np.asarray(a), rtol=1e-3, atol=1e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
-    # (The train-mode dropout path uses the on-core TPU PRNG, which has no
-    # CPU interpret-mode lowering — it is exercised on hardware by bench.py
-    # and the /verify drive instead.)
+    # train mode (dropout live, via the interpret-mode jax.random fallback
+    # of _keep_mask): one step must stay finite through the packed producer
+    # + fused VJP
+    def f_train(params):
+        out, _ = ker.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, dates, pad_mask=mask, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.mean(out ** 2)
+
+    v_t, g_t = jax.value_and_grad(f_train)(variables["params"])
+    assert np.isfinite(float(v_t))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g_t))

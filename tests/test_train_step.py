@@ -282,3 +282,44 @@ def test_patch_parallel_infer_matches_single_device():
     # indivisible batch is rejected loudly
     with pytest.raises(ValueError):
         patch_parallel_infer(tile_fwd, mesh)(variables, px[:6])
+
+
+def test_mesh_timeunet_pallas_train_step():
+    """TimeUNet(use_pallas_train=True) under the data-parallel GSPMD mesh:
+    the custom-VJP Pallas pool (packed producer + deferred tail norm +
+    attention dropout via the interpret-mode RNG fallback) must execute and
+    produce a finite loss on the 8-device CPU mesh — the combination
+    `train.py --num_devices N --use_pallas_train` exercises."""
+    import jax.numpy as jnp
+    from crop2seg_tpu.models import TimeUNet
+    from crop2seg_tpu.parallel import (
+        data_parallel_step, make_mesh, replicate)
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    model = TimeUNet(input_dim=10, encoder_widths=(8, 8, 16),
+                     decoder_widths=(4, 8, 16), out_conv=(8, 15), n_head=4,
+                     d_model=32, d_k=4, use_pallas_train=True)
+    B, T, H, W, C = 8, 7, 16, 16, 10
+    rng = np.random.default_rng(0)
+    pad = np.zeros((B, T), bool)
+    pad[:, T - 1] = True
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)), jnp.float32)
+    x = x * (~jnp.asarray(pad)).astype(jnp.float32)[:, :, None, None, None]
+    batch = {
+        "x": x,
+        "dates": jnp.asarray(
+            np.tile(np.arange(T, dtype=np.float32)[None] * 5, (B, 1))),
+        "pad_mask": jnp.asarray(pad),
+        "y": jnp.asarray(rng.integers(0, 15, (B, H, W)), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(2), x[:1], batch["dates"][:1],
+                           pad_mask=batch["pad_mask"][:1], train=False)
+    cfg = StepConfig(num_classes=15,
+                     class_weights=tuple([0.0] + [1.0] * 13 + [0.0]))
+    state = replicate(create_train_state(model, variables, 1e-3), mesh)
+    step = data_parallel_step(make_train_step(model, cfg), mesh,
+                              donate_state=False)
+    state, aux = step(state, batch, jax.random.PRNGKey(4))
+    loss = float(aux["loss"])
+    assert np.isfinite(loss)
+    assert int(np.asarray(aux["cm"]).sum()) == B * H * W
