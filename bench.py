@@ -280,9 +280,11 @@ def main():
     print(f"# utae train {train_sps:.3f} steps/s", file=sys.stderr)
     from crop2seg_tpu.models import TimeUNet
     # use_pallas_train: the fused custom-VJP L-TAE kernel pair
-    # (ops/ltae_pallas_train) — 2.2x over the chunked-T scan (1.27 -> 2.80
-    # steps/s measured): the (B*16384, T, 256) embed lives only in VMEM in
-    # both directions.
+    # (ops/ltae_pallas_train) fed by the lane-packed pair-conv producer with
+    # its tail GroupNorm deferred into the kernels (ltae_pool_tail) — the
+    # (B*16384, T, 256) embed lives only in VMEM in both directions and the
+    # in_conv tail's normalized copy is never materialized. Measured: 1.27
+    # steps/s (seq_chunk=8) -> 2.80 (kernel pair) -> 3.71 (packed+deferred).
     tu_train_sps = bench_train_step(TimeUNet(
         input_dim=C, out_conv=(32, K_CLASSES), dtype=jnp.bfloat16,
         remat=True, use_pallas_train=True))
