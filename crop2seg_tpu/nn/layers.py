@@ -81,6 +81,70 @@ class _SharedKernelConv3x3(nn.Module):
         return y if bias is None else y + bias
 
 
+class _SharedKernelConv4x4(nn.Module):
+    """4x4 conv whose padding AND strides are call arguments — the bulk pass
+    and the edge-strip passes of the decomposed k4/s2/p1 reflect conv share
+    one kernel. Parameter layout/init matches flax nn.Conv (kernel HWIO
+    lecun_normal, bias zeros) so checkpoint paths are unchanged."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, padding, strides) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, kernel, strides, padding,
+                                         dimension_numbers=dn)
+        return y if bias is None else y + bias
+
+
+def _reflect_conv4x4_s2(conv: _SharedKernelConv4x4, x: jax.Array) -> jax.Array:
+    """Exact reflect-pad 4x4/s2/p1 conv WITHOUT materializing the padded copy
+    (the strided 'down' conv of every DownConvBlock, reference
+    /root/reference/src/backbones/conv.py:238-296 — on U-TAE it runs
+    temporally shared over B*T frames at 128^2, where the (N, H+2, W+2, C)
+    reflect copy is a full-tensor HBM round-trip like the k3 case above).
+
+    Output row j covers input rows 2j-1..2j+2, which stay interior for
+    1 <= j <= H/2-2: only the FIRST output row (touches reflected row -1 ==
+    row 1) and the LAST (touches reflected row H == row H-2) differ from the
+    implicit-zero bulk. Those two rows/cols are recomputed exactly from
+    4-row/col strips and selected in with iota masks, corners composed in
+    the same strip order as _reflect_conv3x3."""
+    h, w = x.shape[1], x.shape[2]
+
+    def strip_h(rows):
+        s = jnp.concatenate([x[:, r:r + 1] for r in rows], axis=1)
+        s = jnp.pad(s, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+        return conv(s, "VALID", (1, 2))                   # (N, 1, W/2, F)
+
+    def strip_w(cols):
+        s = jnp.concatenate([x[:, :, c:c + 1] for c in cols], axis=2)
+        s = jnp.pad(s, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+        return conv(s, "VALID", (2, 1))                   # (N, H/2, 1, F)
+
+    bulk = conv(x, ((1, 1), (1, 1)), (2, 2))
+    top = strip_h((1, 0, 1, 2))
+    bot = strip_h((h - 3, h - 2, h - 1, h - 2))
+    left = strip_w((1, 0, 1, 2))
+    right = strip_w((w - 3, w - 2, w - 1, w - 2))
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, h // 2, 1, 1), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w // 2, 1), 2)
+    out = jnp.where(ix == 0, left, bulk)
+    out = jnp.where(ix == w // 2 - 1, right, out)
+    out = jnp.where(iy == 0, top, out)
+    out = jnp.where(iy == h // 2 - 1, bot, out)
+    return out
+
+
 def _reflect_strips(conv: _SharedKernelConv3x3, x: jax.Array):
     """The four 1-pixel edge strips of the decomposed reflect 3x3 conv:
     (top, bot) of shape (N, 1, W, F) and (left, right) of (N, H, 1, F)."""
@@ -242,6 +306,14 @@ class Conv2d(nn.Module):
                 return _reflect_conv3x3_packed(conv, x)
             return _reflect_conv3x3(conv, x)
         assert not pair_packed, "pair_packed needs the k3/s1/p1 reflect form"
+        if (self.padding_mode == "reflect" and p == 1 and self.kernel_size == 4
+                and self.stride == 2 and self.feature_group_count == 1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and x.shape[1] >= 4 and x.shape[2] >= 4):
+            conv = _SharedKernelConv4x4(features=self.features,
+                                        use_bias=self.use_bias,
+                                        dtype=self.dtype, name="conv")
+            return _reflect_conv4x4_s2(conv, x)
         conv = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

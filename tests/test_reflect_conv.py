@@ -49,11 +49,65 @@ def test_param_path_unchanged():
     v = m.init(jax.random.PRNGKey(0), x)
     assert set(v["params"]["conv"]) == {"kernel", "bias"}
     assert v["params"]["conv"]["kernel"].shape == (3, 3, 4, 6)
-    # the fallback (materialized) path at k=4 uses the same naming
+    # the decomposed k4/s2 path keeps the same naming too
     m2 = Conv2d(features=6, kernel_size=4, stride=2, padding=1,
                 padding_mode="reflect")
     v2 = m2.init(jax.random.PRNGKey(0), x)
     assert set(v2["params"]["conv"]) == {"kernel", "bias"}
+    assert v2["params"]["conv"]["kernel"].shape == (4, 4, 4, 6)
+
+
+def _reference_apply_k4s2(params, x, use_bias=True):
+    """Materialized reflect pad + VALID k4/s2 conv with the same kernel."""
+    k = params["conv"]["kernel"]
+    xp = spatial_pad(x, 1, "reflect")
+    dn = jax.lax.conv_dimension_numbers(xp.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(xp, k, (2, 2), "VALID",
+                                     dimension_numbers=dn)
+    if use_bias:
+        y = y + params["conv"]["bias"]
+    return y
+
+
+@pytest.mark.parametrize("hw", [(4, 4), (4, 8), (6, 4), (8, 8), (16, 24),
+                                (5, 8), (8, 7)])
+def test_k4s2_exact_vs_materialized_pad(hw):
+    """The strided DownConvBlock 'down' conv (k4/s2/p1 reflect, reference
+    conv.py:238-296): decomposed on even >=4 shapes, materialized fallback
+    otherwise — both must equal reflect-pad + VALID."""
+    h, w = hw
+    m = Conv2d(features=6, kernel_size=4, stride=2, padding=1,
+               padding_mode="reflect")
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, h, w, 4), jnp.float32)
+    v = m.init(jax.random.PRNGKey(7), x)
+    got = m.apply(v, x)
+    want = _reference_apply_k4s2(v["params"], x, 6)
+    assert got.shape == want.shape == (3, h // 2, w // 2, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_k4s2_gradients_match():
+    m = Conv2d(features=5, kernel_size=4, stride=2, padding=1,
+               padding_mode="reflect")
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 12, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(9), x)
+
+    def loss_fast(v, x):
+        return (m.apply(v, x) ** 2).sum()
+
+    def loss_ref(v, x):
+        return (_reference_apply_k4s2(v["params"], x) ** 2).sum()
+
+    gv_a, gx_a = jax.grad(loss_fast, argnums=(0, 1))(v, x)
+    gv_b, gx_b = jax.grad(loss_ref, argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gv_a),
+                    jax.tree_util.tree_leaves(gv_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_gradients_match():
