@@ -147,7 +147,7 @@ class LTAE(nn.Module):
     num_queries: int = 1
     add_linear: bool = False
     # Use the fused Pallas kernel (crop2seg_tpu.ops.ltae_pallas) on the
-    # inference path (eval, num_queries=1). Training keeps the XLA path.
+    # inference path (eval; any num_queries). Training keeps the XLA path.
     use_pallas: bool = False
     # Use the fused custom-VJP Pallas kernel pair (ops/ltae_pallas_train) on
     # the TRAINING path too (nq=1, masks not consumed): forward computes the
@@ -225,7 +225,7 @@ class LTAE(nn.Module):
     def _fused(self, x: jax.Array, batch_positions: jax.Array,
                pad_mask: jax.Array | None, need_attn: bool = True,
                input_packed: bool = False, tail_affine=None):
-        """Fused Pallas path (eval, nq=1); x: (B, T, H, W, C). The kernel
+        """Fused Pallas path (eval); x: (B, T, H, W, C). The kernel
         takes the time-major layout directly — no HBM transpose.
 
         input_packed: x arrives LANE-PACKED as (B, T, H, W/2, 2C) from a
@@ -255,7 +255,7 @@ class LTAE(nn.Module):
             "win": self.inconv.variables["params"]["kernel"],
             "bin": self.inconv.variables["params"]["bias"],
             "wk": att_p["fc1_k"]["kernel"], "bk": att_p["fc1_k"]["bias"],
-            "q": att_p["query"][:, 0, :],
+            "q": att_p["query"],                    # (n_head, nq, d_k)
             "wm_folded": wm, "bm_folded": bm,
             "out_scale": self.out_scale, "out_bias": self.out_bias,
         }
@@ -266,6 +266,12 @@ class LTAE(nn.Module):
             rows, pe, pad_mask, params,
             n_head=self.n_head, d_k=self.d_k, need_attn=need_attn,
             packed_input=input_packed, tail_affine=tail_affine)
+        if self.num_queries > 1:
+            # rank-extended returns, same as the XLA path (ref tae.py:490-499)
+            out = jnp.transpose(out.reshape(b, hh, ww, self.num_queries, -1),
+                                (0, 3, 1, 2, 4))    # (B, nq, H, W, d)
+            return out, (None if attn is None else attn.reshape(
+                b, hh, ww, self.n_head, self.num_queries, t))
         return (out.reshape(b, hh, ww, -1),
                 None if attn is None
                 else attn.reshape(b, hh, ww, self.n_head, t))
@@ -462,7 +468,7 @@ class LTAE(nn.Module):
         # input_packed (lane-packed x from a pair-conv producer) and
         # tail_affine (that producer's deferred GroupNorm affine) are only
         # meaningful on the fused path; callers must mirror its gate.
-        if (self.use_pallas and not train and self.num_queries == 1
+        if (self.use_pallas and not train
                 and self.d_model is not None and not self.is_initializing()):
             return self._fused(x, batch_positions, pad_mask,
                                need_attn=need_attn, input_packed=input_packed,

@@ -46,7 +46,10 @@ Measured (v5e, B=8, N=16384, T=61, C=64): v2 28.1 -> v3 18.8 -> packed
 Pallas DMA floor for the 1 GB x stream).
 
 Scope: inference path (eval mode: dropout off, BatchNorm folded into the MLP
-matmul) with num_queries=1. Training keeps the XLA path (autodiff).
+matmul); num_queries >= 1 (the nq > 1 rank-extended variant of
+tae.py:490-499 runs the per-query math lane-widened — see
+ltae_fused_forward). Training goes through the custom-VJP kernel pair in
+ops/ltae_pallas_train.py instead.
 """
 from __future__ import annotations
 
@@ -63,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(x_ref, pe_ref,
             win_ref, bin_ref, ws_ref, pes_ref, wm_ref, bm_ref,
             out_scale_ref, out_bias_ref, *rest,
-            n_head: int, eps: float, exact: bool,
+            n_head: int, nq: int, eps: float, exact: bool,
             tail: bool, need_attn: bool):
     # optional trailing inputs (tail=True): tsc/tsh (1, T, C) — the deferred
     # conv-tail GroupNorm affine applied as max(x*sc+sh, 0) right after the
@@ -75,8 +78,9 @@ def _kernel(x_ref, pe_ref,
     attn_ref = rest[1] if need_attn else None
     t, r, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     d_model = win_ref.shape[1]
-    d_out = wm_ref.shape[1]
-    g = n_head
+    d_out = wm_ref.shape[1]       # = nq * d_true (wm arrives block-diag'd)
+    g = n_head                    # GroupNorm / value-split head count
+    gs = g * nq                   # score groups: one per (head, query)
     c_g = c // g
     cdt = jnp.float32 if exact else x_ref.dtype
 
@@ -158,7 +162,7 @@ def _kernel(x_ref, pe_ref,
         # but these are small-N eval shapes, not the flagship path)
         a_gtr = None
         scores = (mm(xn.reshape(t * r, c), ws_ref[:].astype(cdt))
-                  .reshape(t, r, g)
+                  .reshape(t, r, gs)
                   + jnp.transpose(pes_ref[0])[:, None, :])  # (T, R, G) fp32
         smax = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - smax)
@@ -169,17 +173,42 @@ def _kernel(x_ref, pe_ref,
     # Mosaic requires 32-bit matmul accumulators; cast after. NOTE: a
     # widening jnp.sum(bf16, dtype=fp32) crashes the Mosaic compiler on
     # v5e, so the product is cast to fp32 explicitly before the reduce.
-    attn_big = mm(a_trg.reshape(t * r, g).astype(cdt),
-                  grouping(d_model, cdt).T).astype(cdt)    # (T*R, D)
-    o = jnp.sum((attn_big * h2).reshape(t, r, d_model).astype(jnp.float32),
-                axis=0)                                    # (R, D) fp32
+    if nq == 1:
+        attn_big = mm(a_trg.reshape(t * r, g).astype(cdt),
+                      grouping(d_model, cdt).T).astype(cdt)  # (T*R, D)
+        h_rep = h2
+    else:
+        # query q's output block reuses head g's values: broadcast weight
+        # (g, q) onto channels [q*D + g*dv, q*D + (g+1)*dv) of the
+        # query-major (T*R, nq*D) product (reference tae.py:776-805 runs
+        # the same weighted sum per query).
+        dv = d_model // g
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gs, nq * d_model), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (gs, nq * d_model), 1)
+        m_gq = (((rows % nq) == (cols // d_model))
+                & ((rows // nq) == ((cols % d_model) // dv))).astype(cdt)
+        attn_big = mm(a_trg.reshape(t * r, gs).astype(cdt),
+                      m_gq).astype(cdt)                    # (T*R, nq*D)
+        h_rep = jnp.concatenate([h2] * nq, axis=1)         # (T*R, nq*D)
+    o = jnp.sum((attn_big * h_rep)
+                .reshape(t, r, attn_big.shape[1]).astype(jnp.float32),
+                axis=0)                                    # (R, nq*D) fp32
 
     # --- MLP (BatchNorm pre-folded) + ReLU ----------------------------------
     m = mm(o.astype(cdt), wm_ref[:].astype(cdt)) + bm_ref[:][None]
     m = jnp.maximum(m, 0.0)                                # (R, d_out) fp32
 
     # --- out GroupNorm per row over channel groups --------------------------
-    o_g = d_out // g
+    # nq > 1: torch applies GroupNorm to (N, C, nq) (tae.py:488) — each of
+    # the g groups pools its C/g channels ACROSS all nq queries, so the
+    # grouping matrix maps query-major lane q*d_true + ch to group ch // og.
+    o_g = d_out // g            # = og * nq: elements per group either way
+    if nq > 1:
+        d_true = d_out // nq
+        rows = jax.lax.broadcasted_iota(jnp.int32, (d_out, g), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (d_out, g), 1)
+        sg_o = (((rows % d_true) // (d_true // g)) == cols).astype(
+            jnp.float32)
     omean = mm(m, sg_o) / float(o_g)                       # (R, G)
     ocen = m - mm(omean, sg_o.T)
     ovar = jnp.maximum(mm(ocen * ocen, sg_o) / float(o_g), 0.0)
@@ -206,7 +235,7 @@ def fold_batchnorm(wm: jax.Array, bm: jax.Array, bn_scale, bn_bias,
 
 def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                        params: Dict[str, jax.Array], *, n_head: int = 16,
-                       d_k: int = 4, row_block: int = 128,
+                       d_k: int = 4, row_block: int = 256,
                        eps: float = 1e-5, need_attn: bool = True,
                        exact: Optional[bool] = None,
                        interpret: Optional[bool] = None,
@@ -240,6 +269,15 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     Returns (out (B, N, d_out), attn (B, N, n_head, T) or None).
     exact=None: fp32 matmuls for fp32 inputs, native-dtype (bf16) matmuls
     with fp32 accumulation otherwise.
+
+    num_queries > 1 (reference tae.py:490-499): pass params["q"] as
+    (n_head, nq, d_k) — the scores fold produces one score group per
+    (head, query), the weighted sum runs all queries in one lane-axis-
+    widened pass, and the MLP/out-GroupNorm apply per query (the out
+    GroupNorm pools each head's channels across ALL queries, exactly
+    torch GroupNorm on (N, C, nq) at tae.py:488). Returns
+    out (B, N, nq, d_out) and attn (B, N, n_head, nq, T). Incompatible
+    with packed_input (the flagship packed path is nq=1).
     """
     if interpret is None:  # interpret off-TPU so the same code runs in tests
         dev = jax.config.jax_default_device or jax.devices()[0]
@@ -259,10 +297,16 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     bin_ = params["bin"] + params["in_bias"] @ params["win"]
     # learnable query into the key projection (exact linear algebra):
     # scores[n,g] = (h@Wk+bk)[n, g*dk:+dk] . q[g] / sqrt(dk) = (h@U + cs)[n,g]
+    # (nq > 1: one folded column per (head, query), head-major)
+    q3 = params["q"] if params["q"].ndim == 3 else params["q"][:, None, :]
+    nq = q3.shape[1]
+    assert not (packed_input and nq > 1), \
+        "packed_input requires num_queries == 1"
     wk = params["wk"].reshape(d_model, n_head, d_k)
-    u = jnp.einsum("dgk,gk->dg", wk, params["q"]) / np.sqrt(d_k)
-    cs = (jnp.einsum("gk,gk->g", params["bk"].reshape(n_head, d_k),
-                     params["q"]) / np.sqrt(d_k))[None, :]
+    u = (jnp.einsum("dgk,gqk->dgq", wk, q3)
+         / np.sqrt(d_k)).reshape(d_model, n_head * nq)
+    cs = (jnp.einsum("gk,gqk->gq", params["bk"].reshape(n_head, d_k),
+                     q3) / np.sqrt(d_k)).reshape(1, n_head * nq)
     # ... and U folded through the input projection + PE (all fp32, offline):
     # scores = h@U + cs = xn@(Win@U) + (bin + pe[t])@U + cs = xn@Ws + pes[t],
     # with the pad mask folded in additively (-1e6 biases exp to exactly 0,
@@ -307,17 +351,34 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
         pes = jnp.tile(pes, (1, 2, 1))
         n, c, d_model, d_out = n // 2, 2 * c, 2 * d_model, 2 * d_out
     g_eff = 2 * n_head if pack else n_head
+    if nq > 1:
+        # per-query MLP: block-diagonal Dense on the query-major (R, nq*D)
+        # weighted sum; the out affine repeats per query (torch shares the
+        # GroupNorm affine across queries, tae.py:488)
+        wm = jax.scipy.linalg.block_diag(*([wm] * nq))
+        bm = jnp.concatenate([bm] * nq)
+        osc = jnp.concatenate([osc] * nq)
+        obi = jnp.concatenate([obi] * nq)
+        d_out = nq * d_out
 
     # fp32/exact keeps h + the weighted-sum product in fp32: a 64-pixel
     # block already fills ~13 MB of the 16 MB scoped VMEM, so cap there.
     r_cap = row_block if not exact else min(row_block, 16 if pack else 32)
+    if nq > 1:  # nq-x wider weighted-sum temporaries
+        r_cap = min(r_cap, 128)
     r = min(r_cap, n)
     while n % r:
         r //= 2
     grid = (b, n // r)
+    # 256-row blocks double the per-T contiguous DMA chunk (32 -> 64 KB):
+    # 14.4 -> 13.8 ms on the packed flagship stream, bit-identical output
+    # (measured v5e; 512 regresses). Their live temporaries exceed the 16 MB
+    # default scoped-VMEM limit, so raise the cap (physical VMEM is 128 MB).
+    if vmem_limit_mb is None and not interpret and (r > 128 or nq > 1):
+        vmem_limit_mb = 100
 
-    kernel = functools.partial(_kernel, n_head=g_eff, eps=eps, exact=exact,
-                               tail=tail_affine is not None,
+    kernel = functools.partial(_kernel, n_head=g_eff, nq=nq, eps=eps,
+                               exact=exact, tail=tail_affine is not None,
                                need_attn=need_attn)
 
     def vec(_=None):  # whole small tensor resident in VMEM
@@ -329,7 +390,7 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
         pl.BlockSpec((1, t, d_model), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         vec(), vec(), vec(),
-        pl.BlockSpec((1, g_eff, t), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, g_eff * nq, t), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         vec(), vec(), vec(), vec(),
     ]
@@ -347,10 +408,11 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, n, d_out), x.dtype)]
     if need_attn:
-        out_specs.append(pl.BlockSpec((1, r, g_eff, t),
+        out_specs.append(pl.BlockSpec((1, r, g_eff * nq, t),
                                       lambda i, j: (i, j, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, n, g_eff, t), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, n, g_eff * nq, t),
+                                              jnp.float32))
 
     kw = {}
     if vmem_limit_mb is not None and not interpret:
@@ -367,6 +429,11 @@ def ltae_fused_forward(x: jax.Array, pe: jax.Array, pad_mask: jax.Array,
     )(*inputs)
     # unpack: (B, N/2, 2*d) and (B, N/2, 2G, T) are the SAME memory as
     # (B, N, d) / (B, N, G, T) — free reinterpret, inverse of the x view.
+    if nq > 1:
+        out = res[0].reshape(b, n_orig, nq, d_out // nq)
+        if need_attn:
+            return out, res[1].reshape(b, n_orig, n_head, nq, t)
+        return out, None
     out = res[0].reshape(b, n_orig, d_out // (2 if pack else 1))
     if need_attn:
         return out, res[1].reshape(b, n_orig, n_head, t)
@@ -388,7 +455,7 @@ def params_from_ltae_variables(variables: Dict, n_head: int = 16) -> Dict:
         "win": p["inconv"]["kernel"], "bin": p["inconv"]["bias"],
         "wk": p["attention"]["fc1_k"]["kernel"],
         "bk": p["attention"]["fc1_k"]["bias"],
-        "q": p["attention"]["query"][:, 0, :],  # (n_head, 1, d_k) -> (n_head, d_k)
+        "q": p["attention"]["query"],  # (n_head, nq, d_k)
         "wm_folded": wm, "bm_folded": bm,
         "out_scale": p["out_norm_scale"], "out_bias": p["out_norm_bias"],
     }

@@ -159,6 +159,48 @@ def test_fused_tail_affine_packed_matches():
                                rtol=5e-3, atol=5e-3)
 
 
+def test_fused_num_queries_matches_xla_module():
+    """num_queries > 1: the fused kernel's rank-extended outputs
+    (out (B, nq, H, W, d), attn (B, H, W, head, nq, T)) must match the XLA
+    module path (reference semantics at tae.py:490-499)."""
+    nq = 3
+    m = LTAE(in_channels=C, n_head=N_HEAD, d_k=D_K, mlp=(D_MODEL, D_OUT),
+             d_model=D_MODEL, num_queries=nq)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, W, C))
+    dates = (jnp.arange(T) * 7.0 + 20)[None, :].repeat(B, 0)
+    pad = jnp.zeros((B, T), bool).at[0, T - 2:].set(True)
+    x = jnp.where(pad[:, :, None, None, None], 0.0, x)
+    variables = m.init(jax.random.PRNGKey(1), x, dates, pad_mask=pad,
+                       train=False)
+    out_ref, attn_ref = m.apply(variables, x, dates, pad_mask=pad,
+                                train=False)
+    assert out_ref.shape == (B, nq, H, W, D_OUT)
+
+    # the same module with use_pallas routes through the fused kernel
+    m_fast = LTAE(in_channels=C, n_head=N_HEAD, d_k=D_K,
+                  mlp=(D_MODEL, D_OUT), d_model=D_MODEL, num_queries=nq,
+                  use_pallas=True)
+    out, attn = m_fast.apply(variables, x, dates, pad_mask=pad, train=False)
+    assert out.shape == out_ref.shape and attn.shape == attn_ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_ref),
+                               rtol=1e-3, atol=5e-4)
+
+    # and directly through ltae_fused_forward with the raw params
+    pe = m.bind(variables).positional_encoder(dates)
+    params = params_from_ltae_variables(variables, n_head=N_HEAD)
+    out_k, attn_k = ltae_fused_forward(
+        x.reshape(B, T, H * W, C), pe, pad, params, n_head=N_HEAD, d_k=D_K,
+        row_block=32, interpret=True)
+    assert out_k.shape == (B, H * W, nq, D_OUT)
+    assert attn_k.shape == (B, H * W, N_HEAD, nq, T)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out_k.reshape(B, H, W, nq, D_OUT),
+                                 (0, 3, 1, 2, 4))),
+        np.asarray(out_ref), rtol=1e-3, atol=5e-4)
+
+
 def test_timeunet_use_pallas_matches():
     """TimeUNet with use_pallas=True must match the XLA path end-to-end."""
     from crop2seg_tpu.models import TimeUNet
