@@ -203,13 +203,13 @@ def bench_disk_to_map(model, variables):
 
 
 def bench_train_step(model=None):
-    """Fused train step (fwd+bwd+Adam+CM metrics) at B=16 bf16 + remat.
+    """Fused train step (fwd+bwd+Adam+CM metrics) at B=16 bf16.
 
-    Benched for BOTH trained reference models: UTAE and TimeUNet_v1 (the
-    shipped webapp model, reference timeunet.py:169-210 + train.py:327-328).
-    TimeUNet's full-resolution L-TAE would keep an ~8 GB bf16 sequence
-    tensor as a backward residual at B=16; seq_chunk streams it through a
-    rematerialized online-softmax scan (nn/ltae.py) so it fits one chip."""
+    Benched for BOTH trained reference models: UTAE (remat'd conv blocks —
+    its att_group skips keep the 976-frame encoder pyramid live) and
+    TimeUNet_v1 (the shipped webapp model, reference timeunet.py:169-210 +
+    train.py:327-328; no remat — the custom-VJP kernel pair keeps its ~8 GB
+    full-resolution L-TAE embed in VMEM, so the conv activations fit)."""
     from crop2seg_tpu.learning import (
         StepConfig, create_train_state, make_train_step)
     from crop2seg_tpu.models import UTAE
@@ -285,15 +285,20 @@ def main():
     # (B*16384, T, 256) embed lives only in VMEM in both directions and the
     # in_conv tail's normalized copy is never materialized. Measured: 1.27
     # steps/s (seq_chunk=8) -> 2.80 (kernel pair) -> 3.71 (packed+deferred).
+    # remat=False: with the embed fused away, the in_conv activations
+    # (~2 GB/tensor at B=16) fit in HBM — saves the backward's in_conv
+    # recompute (259.6 -> 229.0 ms/step measured same-session). UTAE still
+    # needs remat=True: its att_group skips keep the full 976-frame encoder
+    # pyramid live and the no-remat step fails to compile.
     tu_train_sps = bench_train_step(TimeUNet(
         input_dim=C, out_conv=(32, K_CLASSES), dtype=jnp.bfloat16,
-        remat=True, use_pallas_train=True))
+        remat=False, use_pallas_train=True))
     print(f"# timeunet train {tu_train_sps:.3f} steps/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": ("whole-tile inference 100x128^2 patches->stitch 1098^2 "
                    "(timeunet_v1, T=61, 10ch, bf16); extras: raw forward "
-                   "patches/s, train steps/s (B=16 bf16+remat)"),
+                   "patches/s, train steps/s (B=16 bf16)"),
         "value": round(tile_pps, 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(tile_pps / REFERENCE_PATCHES_PER_SEC, 1),
