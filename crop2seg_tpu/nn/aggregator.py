@@ -52,19 +52,27 @@ def temporal_aggregate(x: jax.Array, attn: jax.Array | None = None,
     if mode == "att_group":
         n_head = attn.shape[3]
         a = jnp.transpose(attn, (0, 3, 1, 2, 4))   # (B, head, ha, wa, T)
-        a = _resample_attn(a, h, w)                # (B, head, H, W, T)
+        # resample in the compute dtype: the upsampled masks are the largest
+        # tensor on this path ((B, 16, H, W, T) ~1 GB fp32 at the flagship
+        # 128^2 scale) — in bf16 runs halving them halves the HBM traffic of
+        # the resample write + both einsum reads; fp32 runs are unchanged.
+        # The weighted sum still accumulates in fp32 (preferred_element_type)
+        # like every conv on the MXU.
+        a = _resample_attn(a.astype(x.dtype), h, w)  # (B, head, H, W, T)
         if valid is not None:
             a = a * valid[:, None, None, None, :]
         xg = x.reshape(b, t, h, w, n_head, c // n_head)
-        out = jnp.einsum("bghwt,bthwgd->bhwgd", a, xg)
-        return out.reshape(b, h, w, c)
+        out = jnp.einsum("bghwt,bthwgd->bhwgd", a, xg,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(b, h, w, c).astype(x.dtype)
 
     if mode == "att_mean":
         a = jnp.mean(attn, axis=3)                 # (B, ha, wa, T)
-        a = _resample_attn(a, h, w)                # (B, H, W, T)
+        a = _resample_attn(a.astype(x.dtype), h, w)  # (B, H, W, T)
         if valid is not None:
             a = a * valid[:, None, None, :]
-        return jnp.einsum("bhwt,bthwc->bhwc", a, x)
+        return jnp.einsum("bhwt,bthwc->bhwc", a, x,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
 
     if mode == "mean":
         if valid is None:

@@ -66,3 +66,27 @@ def test_train_step_smoke_and_remat_parity():
         losses.append(float(aux["loss"]))
     # activation checkpointing must not change the math
     assert abs(losses[0] - losses[1]) < 1e-6
+
+
+def test_aggregator_bf16_matches_f32():
+    """The aggregator resamples attention in the COMPUTE dtype (bf16 runs
+    halve the upsampled-mask HBM traffic); the result must stay within bf16
+    tolerance of the f32 path, and the f32 path itself is byte-stable."""
+    from crop2seg_tpu.nn.aggregator import temporal_aggregate
+
+    rng = np.random.default_rng(1)
+    b, t, h, w, c, heads, ha = 2, 5, 16, 16, 8, 4, 4
+    x = rng.standard_normal((b, t, h, w, c)).astype(np.float32)
+    logits = rng.standard_normal((b, ha, ha, heads, t)).astype(np.float32)
+    attn = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    pad = jnp.asarray(np.array([[False] * t, [False] * (t - 2) + [True] * 2]))
+
+    for mode in ("att_group", "att_mean"):
+        ref = temporal_aggregate(jnp.asarray(x), attn=attn, pad_mask=pad,
+                                 mode=mode)
+        got = temporal_aggregate(jnp.asarray(x, jnp.bfloat16), attn=attn,
+                                 pad_mask=pad, mode=mode)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref), rtol=0.05,
+            atol=0.05, err_msg=mode)
