@@ -92,7 +92,7 @@ def _forward(model, params, batch_stats, batch, train, rngs=None):
 
 
 def _loss_and_metrics(model, cfg: StepConfig, params, batch_stats, batch,
-                      train, rngs=None):
+                      train, rngs=None, want_pred=False):
     out, updates = _forward(model, params, batch_stats, batch, train, rngs)
     new_stats = updates.get("batch_stats", batch_stats) if train else batch_stats
     if cfg.add_boundary_loss:
@@ -122,6 +122,8 @@ def _loss_and_metrics(model, cfg: StepConfig, params, batch_stats, batch,
     aux["cm_top2"] = confusion_matrix(
         top2_prediction(logits, y_m), y_m, cfg.num_classes)
     aux["loss"] = loss
+    if want_pred:
+        aux["pred"] = pred
     return loss, (new_stats, aux)
 
 
@@ -148,13 +150,11 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
 
 def make_eval_step(model, cfg: StepConfig, return_pred: bool = False) -> Callable:
     def step(state: TrainState, batch: Dict[str, jax.Array]):
+        # want_pred reuses the metrics forward's argmax instead of running a
+        # second full forward pass for the prediction map.
         _, (_, aux) = _loss_and_metrics(model, cfg, state.params,
-                                        state.batch_stats, batch, False)
-        if return_pred:
-            out, _ = _forward(model, state.params, state.batch_stats, batch,
-                              False)
-            logits = out[0] if cfg.add_boundary_loss else out
-            aux["pred"] = jnp.argmax(logits, axis=-1)
+                                        state.batch_stats, batch, False,
+                                        want_pred=return_pred)
         return aux
 
     return step

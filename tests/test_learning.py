@@ -139,6 +139,19 @@ def test_confusion_matrix_and_iou():
     assert abs(m2 - miou) < 1e-9 and abs(a2 - acc) < 1e-9
 
 
+def test_confusion_matrix_out_of_range_labels_dropped():
+    """The one-hot matmul CM must drop out-of-range labels exactly like the
+    reference's bincount-with-masking (miou.py:104-117): an invalid target
+    or prediction contributes to no cell."""
+    pred = np.array([0, 1, 2, 3, -1, 2], np.int32)
+    targ = np.array([0, 1, 3, 9, 1, -5], np.int32)  # 9, -5 out of range for K=4
+    cm = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(targ), 4))
+    valid = (pred >= 0) & (pred < 4) & (targ >= 0) & (targ < 4)
+    want = np.bincount(pred[valid] + 4 * targ[valid], minlength=16).reshape(4, 4)
+    np.testing.assert_array_equal(cm, want)
+    assert cm.sum() == valid.sum()
+
+
 def test_confusion_matrix_analysis_matches_reference_formula():
     g = torch.Generator().manual_seed(7)
     mat = torch.randint(0, 50, (K, K), generator=g).numpy().astype(float)
