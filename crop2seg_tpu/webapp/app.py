@@ -22,7 +22,8 @@ from crop2seg_tpu.config import DEFAULT_TILES
 from crop2seg_tpu.data.s2tsczcrop import LABELS
 from crop2seg_tpu.utils.visualize import plot_crop_map
 from crop2seg_tpu.webapp.pipeline import (
-    CacheManager, generate_prediction, get_info, get_time_series)
+    CacheManager, cell_grid_figure, generate_prediction, get_info,
+    get_time_series)
 
 CACHE_DIR = os.environ.get("CROP2SEG_CACHE", os.path.expanduser("~/.crop2seg"))
 MODEL_DIR = os.environ.get("CROP2SEG_MODEL", "data/inference/timeunet_v1_base")
@@ -36,7 +37,30 @@ def main():
     if page == "Home":
         st.title("Predict crops (TPU)")
         tile = st.selectbox("Sentinel-2 tile", DEFAULT_TILES)
-        cell = st.number_input("Cell index (0-99)", 0, 99, 0)
+        # Interactive cell picker: the reference renders the tile's 10x10
+        # sub-grid on a leafmap map and spatial-joins the click to a cell
+        # (home.py:13-77, get_data.py:33-69). Here the same grid is a
+        # clickable 10x10 button matrix next to a georeferenced map view
+        # (pipeline.cell_grid_figure) — no mapping stack required.
+        if "cell" not in st.session_state:
+            st.session_state["cell"] = 0
+        map_col, grid_col = st.columns([3, 2])
+        with grid_col:
+            st.caption("Pick a cell (row-major 0-99)")
+            for r in range(10):
+                cols = st.columns(10)
+                for c, col in enumerate(cols):
+                    idx = r * 10 + c
+                    if col.button(f"{idx}", key=f"cell_{idx}",
+                                  type=("primary"
+                                        if st.session_state["cell"] == idx
+                                        else "secondary")):
+                        st.session_state["cell"] = idx
+                        st.rerun()
+        with map_col:
+            st.pyplot(cell_grid_figure(tile, st.session_state["cell"]))
+        cell = st.number_input("Cell index (0-99)", 0, 99,
+                               int(st.session_state["cell"]))
         year = st.number_input("Year", 2016, 2026, 2019)
         if st.button("Predict crops"):
             info = get_info(tile, int(cell))

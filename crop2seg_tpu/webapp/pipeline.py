@@ -43,6 +43,58 @@ def tile_cell_bounds(tile_origin_xy: Tuple[float, float], cell_idx: int,
     return (left, top - CELL_PX * res, left + CELL_PX * res, top)
 
 
+def cell_from_xy(tile_origin_xy: Tuple[float, float], x: float, y: float,
+                 res: float = 10.0) -> int:
+    """World coordinates (tile CRS) -> cell index 0..99 — the click->cell
+    spatial join of the reference's leafmap picker (home.py:63-77,
+    get_data.py:33-69). Inverse of :func:`tile_cell_bounds`; raises
+    ValueError outside the 10x10 grid."""
+    c = int((x - tile_origin_xy[0]) // (CELL_PX * res))
+    r = int((tile_origin_xy[1] - y) // (CELL_PX * res))
+    if not (0 <= r < CELLS_PER_SIDE and 0 <= c < CELLS_PER_SIDE):
+        raise ValueError(f"point ({x}, {y}) outside the tile's cell grid")
+    return r * CELLS_PER_SIDE + c
+
+
+def cell_grid_figure(tile_name: str, selected: Optional[int] = None,
+                     tile_origin_xy: Optional[Tuple[float, float]] = None,
+                     index_path: Optional[str] = None):
+    """Matplotlib rendering of a tile's 10x10 sub-cell grid in its UTM frame
+    with cell indices labeled and the picked cell highlighted — the
+    map-view companion of the app's clickable grid (the reference draws the
+    same grid as leafmap polygons, home.py:13-77). Returns the Figure."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    if tile_origin_xy is None and index_path is not None:
+        tile_origin_xy = tile_origin_from_index(tile_name, index_path)
+    if tile_origin_xy is None:
+        tile_origin_xy = mgrs_tile_origin(tile_name)
+    fig, ax = plt.subplots(figsize=(5.4, 5.4))
+    edge = CELL_PX * 10.0
+    for idx in range(CELLS_PER_SIDE * CELLS_PER_SIDE):
+        left, bottom, _, top = tile_cell_bounds(tile_origin_xy, idx)
+        is_sel = idx == selected
+        ax.add_patch(Rectangle(
+            (left, bottom), edge, edge,
+            facecolor="#2a9d8f" if is_sel else "none",
+            alpha=0.65 if is_sel else 1.0,
+            edgecolor="#264653", linewidth=0.6))
+        ax.annotate(str(idx), (left + edge / 2, bottom + edge / 2),
+                    ha="center", va="center", fontsize=7,
+                    color="white" if is_sel else "#264653")
+    ax.set_xlim(tile_origin_xy[0], tile_origin_xy[0] + 10 * edge)
+    ax.set_ylim(tile_origin_xy[1] - 10 * edge, tile_origin_xy[1])
+    ax.set_aspect("equal")
+    ax.set_title(f"{tile_name} — 10x10 cells (1098 px @ 10 m)")
+    ax.ticklabel_format(style="plain")
+    ax.tick_params(labelsize=7)
+    fig.tight_layout()
+    return fig
+
+
 def get_info(tile_name: str, cell_idx: int,
              tile_origin_xy: Optional[Tuple[float, float]] = None,
              index_path: Optional[str] = None) -> Dict:

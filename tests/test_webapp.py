@@ -181,3 +181,34 @@ def test_tile_origin_from_index(tmp_path):
     left, bottom, right, top = info["bounds"]
     assert abs(left - ulx) <= 1.0 and abs(top - uly) <= 1.0
     assert np.isclose(right - left, 10980.0)
+
+
+def test_cell_from_xy_inverts_bounds():
+    from crop2seg_tpu.webapp.pipeline import cell_from_xy, tile_cell_bounds
+
+    origin = (500000.0, 5600000.0)
+    for idx in (0, 9, 37, 55, 90, 99):
+        left, bottom, right, top = tile_cell_bounds(origin, idx)
+        # cell centre and interior corners map back to the same cell
+        assert cell_from_xy(origin, (left + right) / 2,
+                            (bottom + top) / 2) == idx
+        assert cell_from_xy(origin, left, top) == idx
+    import pytest
+
+    with pytest.raises(ValueError):
+        cell_from_xy(origin, origin[0] - 1.0, origin[1])
+    with pytest.raises(ValueError):
+        cell_from_xy(origin, origin[0], origin[1] - 10 * 10980.0 - 1)
+
+
+def test_cell_grid_figure_renders():
+    from crop2seg_tpu.webapp.pipeline import cell_grid_figure
+
+    fig = cell_grid_figure("T33UVR", selected=42)
+    # 100 cell rectangles + 100 index labels on one axes
+    ax = fig.axes[0]
+    assert len(ax.patches) == 100
+    assert len(ax.texts) == 100
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
