@@ -100,6 +100,9 @@ def emit(rc: int = 0) -> None:
         "relay_uplink_mb_per_sec": RESULTS.get("uplink"),
         "e2e_uplink_ceiling_patches_per_sec": RESULTS.get("uplink_cap"),
         "e2e_disk_to_map_patches_per_sec": RESULTS.get("disk_map"),
+        "e2e_stage_budget_sec": RESULTS.get("disk_map_budget"),
+        "e2e_effective_uplink_mb_per_sec": RESULTS.get(
+            "disk_map_effective_uplink_mb_per_sec"),
         "train_batch": TRAIN_B,
         "bench_seconds": round(time.perf_counter() - T_START, 1),
     }
@@ -277,14 +280,28 @@ def bench_disk_to_map(model, variables):
                            reference_date="2018-09-01")
     # warm-up: compile + page cache
     stream_tile_inference(model, variables, ds, batch_size=10)
-    best = 0.0
+    best, best_tl = 0.0, None
     for _ in range(2 if time_left() > 150 else 1):
+        tl: dict = {}
         t0 = time.perf_counter()
         proba, classes = stream_tile_inference(model, variables, ds,
-                                               batch_size=10)
+                                               batch_size=10,
+                                               timeline=tl)
         dt = time.perf_counter() - t0
-        best = max(best, 100 / dt)
+        if 100 / dt > best:
+            best, best_tl = 100 / dt, tl
     assert classes.shape == (1098, 1098) and np.isfinite(proba).all()
+    if best_tl and best_tl.get("total"):
+        # per-stage budget summing to the observed rate (the relay's shared
+        # tunnel makes the ambient uplink probe non-stationary — 13-47 MB/s
+        # within one session — so the in-stream effective rate is the only
+        # number that attributes THIS run)
+        xfer = best_tl["upload"] + best_tl["fetch"]
+        RESULTS["disk_map_budget"] = {
+            k: round(best_tl[k], 1)
+            for k in ("decode", "upload", "dispatch", "fetch", "total")}
+        RESULTS["disk_map_effective_uplink_mb_per_sec"] = round(
+            best_tl["bytes_up"] / 1e6 / max(xfer, 1e-9), 1)
     return best
 
 

@@ -57,6 +57,12 @@ class UTAE(nn.Module):
     # pass instead of storing its activations (trades ~1 extra forward of
     # FLOPs for O(stages) less HBM -> enables B=16-32 bf16 training).
     remat: bool = False
+    # With remat on, also rematerialize the post-collapse decoder (up/out
+    # blocks). Their activations are T-free and tiny ((B, H, W, C) vs the
+    # encoder's (B*T, H, W, C)), so recomputing them saves almost no memory
+    # while re-running every decoder conv in the backward pass — False keeps
+    # the 976-frame encoder remat'd but stores the decoder.
+    remat_decoder: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -79,8 +85,9 @@ class UTAE(nn.Module):
             # static_argnums count ``self`` as 0; ``train`` is a Python bool.
             in_block = nn.remat(in_block, static_argnums=(2,))
             down_block = nn.remat(down_block, static_argnums=(2,))
-            out_block = nn.remat(out_block, static_argnums=(2,))
-            up_block = nn.remat(up_block, static_argnums=(3,))
+            if self.remat_decoder:
+                out_block = nn.remat(out_block, static_argnums=(2,))
+                up_block = nn.remat(up_block, static_argnums=(3,))
 
         # --- shared spatial encoder over every frame -----------------------
         in_conv = in_block(

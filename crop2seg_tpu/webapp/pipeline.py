@@ -230,7 +230,8 @@ def _stream_fwd_cached(model, use_native: bool, mesh_key, mesh):
 
 
 def stream_tile_inference(model, variables, ds, batch_size: int = 10,
-                          mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+                          mesh=None, timeline: Optional[dict] = None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Overlapped disk->crop-map inference over the 100 patches of a cell.
 
     With ``mesh`` (a jax.sharding.Mesh), each forward chunk's patch axis
@@ -252,6 +253,14 @@ def stream_tile_inference(model, variables, ds, batch_size: int = 10,
 
     Returns host (1098, 1098, K) float32 probabilities and (1098, 1098)
     uint8 classes, stitched on host (ops.patchify.np_stitch_inference_tile).
+
+    ``timeline``: pass a dict to receive the per-stage wall-clock budget of
+    the run (seconds summing to the loop total): 'decode' (host npy ->
+    normalized planar bf16), 'upload' (jnp.asarray dispatch), 'dispatch'
+    (forward dispatch), 'fetch' (np.asarray — on the lazily-executing relay
+    this is where queued uploads+compute actually run), plus 'bytes_up' and
+    'total'. Measured on the serial single-core path; with worker threads
+    the stages overlap and only 'total' is meaningful.
     """
     import queue as _queue
     from collections import deque
@@ -347,19 +356,43 @@ def stream_tile_inference(model, variables, ds, batch_size: int = 10,
         # software pipeline: chunk k-1 is fetched only after chunk k's
         # forward is dispatched, so device compute still overlaps the
         # next host decode.
+        import time as _time
+
+        tl = {"decode": 0.0, "upload": 0.0, "dispatch": 0.0, "fetch": 0.0,
+              "bytes_up": 0, "total": 0.0}
+        t_run = _time.perf_counter()
         prev = None
-        for buf, xb_np, nb in chunks():
+        gen = chunks()
+        while True:
+            t0 = _time.perf_counter()
+            item = next(gen, None)
+            tl["decode"] += _time.perf_counter() - t0
+            if item is None:
+                break
+            buf, xb_np, nb = item
+            t0 = _time.perf_counter()
             xb_dev = jnp.asarray(pad_chunk(buf, xb_np, nb))
+            tl["upload"] += _time.perf_counter() - t0
+            tl["bytes_up"] += xb_dev.size * xb_dev.dtype.itemsize
             if buf is not None:
                 free_q.put(buf)   # asarray copied; safe to recycle
+            t0 = _time.perf_counter()
             out = (fwd(variables, xb_dev), nb)
+            tl["dispatch"] += _time.perf_counter() - t0
             if prev is not None:
                 (pb, cb), n0 = prev
+                t0 = _time.perf_counter()
                 results.append((np.asarray(pb)[:n0], np.asarray(cb)[:n0]))
+                tl["fetch"] += _time.perf_counter() - t0
             prev = out
         if prev is not None:
             (pb, cb), n0 = prev
+            t0 = _time.perf_counter()
             results.append((np.asarray(pb)[:n0], np.asarray(cb)[:n0]))
+            tl["fetch"] += _time.perf_counter() - t0
+        tl["total"] = _time.perf_counter() - t_run
+        if timeline is not None:
+            timeline.update(tl)
     else:
         q = _queue.Queue(maxsize=2)
         Thread(target=produce, args=(q,), daemon=True).start()
@@ -399,6 +432,8 @@ def stream_tile_inference(model, variables, ds, batch_size: int = 10,
         fetcher.join()
         if fetch_err:
             raise fetch_err[0]
+        if timeline is not None:  # stages overlap across threads here
+            timeline["total"] = None
 
     proba = np_stitch_inference_tile(
         np.concatenate([p for p, _ in results]).astype(np.float32))
