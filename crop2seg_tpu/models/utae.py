@@ -63,6 +63,13 @@ class UTAE(nn.Module):
     # while re-running every decoder conv in the backward pass — False keeps
     # the 976-frame encoder remat'd but stores the decoder.
     remat_decoder: bool = True
+    # With remat on, also rematerialize the down blocks. Their interiors
+    # are 4-64x smaller than in_conv's ((B*T, H/2^i, W/2^i, C)); storing
+    # them costs ~2.7 GB at the flagship B=16 bf16 scale and skips their
+    # ~53 ms backward recompute (measured segment fwd: down0 33 + down1 14
+    # + down2 6 ms) — in_conv, whose interiors dominate memory, stays
+    # remat'd either way.
+    remat_down: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -84,7 +91,8 @@ class UTAE(nn.Module):
         if self.remat:
             # static_argnums count ``self`` as 0; ``train`` is a Python bool.
             in_block = nn.remat(in_block, static_argnums=(2,))
-            down_block = nn.remat(down_block, static_argnums=(2,))
+            if self.remat_down:
+                down_block = nn.remat(down_block, static_argnums=(2,))
             if self.remat_decoder:
                 out_block = nn.remat(out_block, static_argnums=(2,))
                 up_block = nn.remat(up_block, static_argnums=(3,))
