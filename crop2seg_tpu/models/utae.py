@@ -70,6 +70,12 @@ class UTAE(nn.Module):
     # + down2 6 ms) — in_conv, whose interiors dominate memory, stays
     # remat'd either way.
     remat_down: bool = True
+    # Remat policy for the checkpointed blocks: None recomputes everything
+    # (XLA default); 'conv_out' stores each conv's raw output (tagged with
+    # jax.ad_checkpoint.checkpoint_name in nn/layers.py) and recomputes only
+    # the GroupNorm/ReLU tails — the convs are the FLOP cost of the
+    # recompute, the norms only bandwidth.
+    remat_policy: str | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -90,12 +96,17 @@ class UTAE(nn.Module):
                 ConvBlock, DownConvBlock, UpConvBlock, ConvBlock)
         if self.remat:
             # static_argnums count ``self`` as 0; ``train`` is a Python bool.
-            in_block = nn.remat(in_block, static_argnums=(2,))
+            policy = (jax.checkpoint_policies.save_only_these_names(
+                "conv_out") if self.remat_policy == "conv_out" else None)
+            in_block = nn.remat(in_block, static_argnums=(2,), policy=policy)
             if self.remat_down:
-                down_block = nn.remat(down_block, static_argnums=(2,))
+                down_block = nn.remat(down_block, static_argnums=(2,),
+                                      policy=policy)
             if self.remat_decoder:
-                out_block = nn.remat(out_block, static_argnums=(2,))
-                up_block = nn.remat(up_block, static_argnums=(3,))
+                out_block = nn.remat(out_block, static_argnums=(2,),
+                                     policy=policy)
+                up_block = nn.remat(up_block, static_argnums=(3,),
+                                    policy=policy)
 
         # --- shared spatial encoder over every frame -----------------------
         in_conv = in_block(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -493,6 +494,12 @@ class ConvLayer(nn.Module):
                     stride=self.s, padding=self.p, padding_mode=self.padding_mode,
                     dtype=self.dtype, name=f"conv{i}",
                 )(x, pair_packed=tail)
+            # Offloadable-rematerialization tag: under nn.remat with
+            # policy=save_only_these_names('conv_out') the conv outputs are
+            # STORED and only the cheap GroupNorm/ReLU tail is recomputed in
+            # the backward pass (UTAE remat_policy='conv_out'). A no-op
+            # identity everywhere else.
+            x = jax.ad_checkpoint.checkpoint_name(x, "conv_out")
             if tail:
                 gn = PackedPairGroupNorm(
                     features=self.nkernels[i + 1], num_groups=self.n_groups,
