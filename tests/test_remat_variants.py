@@ -7,8 +7,11 @@ parameter gradient must match the no-remat model exactly.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from crop2seg_tpu.models import UTAE
+
+pytestmark = pytest.mark.slow  # 5 full-model compiles: ~4 min on 1 core
 from crop2seg_tpu.nn.temporal import pad_mask_from_lengths
 
 KW = dict(input_dim=4, encoder_widths=(4, 4, 8), decoder_widths=(4, 4, 8),
