@@ -386,9 +386,12 @@ def main():
 
     def do_utae_train():
         from crop2seg_tpu.models import UTAE
+        # remat_policy='conv_out': store conv outputs, recompute only the
+        # GN/ReLU tails in backward (377 -> 352 ms/step measured, grads
+        # identical — see models/utae.py remat_policy).
         RESULTS["utae_train"] = round(bench_train_step(UTAE(
             input_dim=C, out_conv=(32, K_CLASSES), dtype=jnp.bfloat16,
-            remat=True)), 3)
+            remat=True, remat_policy="conv_out")), 3)
         print(f"# utae train {RESULTS['utae_train']} steps/s "
               f"t={BUDGET - time_left():.0f}s", file=sys.stderr, flush=True)
 

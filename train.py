@@ -94,6 +94,13 @@ parser.add_argument("--remat", action="store_true",
                          "with --use_pallas_train trains ~12%% faster "
                          "WITHOUT it (the fused kernels already keep the "
                          "big embed out of HBM)")
+parser.add_argument("--remat_policy", default="conv_out",
+                    choices=["conv_out", "full"],
+                    help="with --remat on UTAE: 'conv_out' stores each conv "
+                         "output and recomputes only the GroupNorm/ReLU "
+                         "tails in backward (7%% faster at B=16 bf16, "
+                         "identical grads); 'full' recomputes everything "
+                         "(lowest memory)")
 parser.add_argument("--num_devices", default=None, type=int,
                     help="train data-parallel over a mesh of the first N "
                          "devices (params replicated, batch sharded, GSPMD "
