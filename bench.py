@@ -128,6 +128,8 @@ def section(name: str, est: float, fn) -> None:
               file=sys.stderr, flush=True)
         return
     try:
+        print(f"# {name} start t={BUDGET - time_left():.0f}s",
+              file=sys.stderr, flush=True)
         fn()
     except Exception as err:
         print(f"# {name} FAILED: {err!r}", file=sys.stderr, flush=True)
@@ -153,15 +155,29 @@ def _inputs(model, b=B):
     return variables, dates, pad_mask
 
 
-def _best_round(run, work_per_round, rounds=ROUNDS, warmup=WARMUP):
-    """max over per-round rates (relay stalls poison individual rounds)."""
-    for _ in range(warmup):
+def _best_round(run, work_per_round, rounds=ROUNDS, warmup=WARMUP,
+                key=None):
+    """max over per-round rates (relay stalls poison individual rounds).
+
+    ``key``: RESULTS key updated after EVERY round, so a signal-triggered
+    partial emit mid-section still carries the best number seen so far
+    (round-3 lesson: one bad-relay session ate the whole budget inside the
+    first section and the JSON emitted all-null)."""
+    for i in range(warmup):
+        t0 = time.perf_counter()
         run()
+        print(f"#   warmup {i}: {time.perf_counter() - t0:.1f}s "
+              f"(t={time.perf_counter() - T_START:.0f}s)",
+              file=sys.stderr, flush=True)
     best = 0.0
     for _ in range(rounds):
         t0 = time.perf_counter()
         run()
         best = max(best, work_per_round / (time.perf_counter() - t0))
+        if key is not None:
+            RESULTS[key] = round(best, 2)
+        if time_left() < 10:
+            break
     return best
 
 
@@ -179,7 +195,7 @@ def bench_forward(model, variables, dates, pad_mask):
         return preds
 
     return _best_round(lambda: np.asarray(fwd_many(variables, xs)),
-                       N_CHUNKS * B)
+                       N_CHUNKS * B, key="fwd_pps")
 
 
 TILE_B = 4     # whole-tile scan chunk: B=8 OOMs with the 2 GB patch stack
@@ -213,7 +229,7 @@ def bench_whole_tile(model, variables, dates, pad_mask):
         return jnp.argmax(tile, axis=-1).astype(jnp.uint8)
 
     return _best_round(lambda: np.asarray(tile_infer(variables, patches)),
-                       100, warmup=2)
+                       100, warmup=2, key="tile_pps")
 
 
 BENCH_CELL = "/tmp/c2s_bench_cell"
@@ -354,8 +370,12 @@ def bench_train_step(model, train_b=TRAIN_B):
 
 
 def main():
+    print(f"# init start t={time.perf_counter() - T_START:.0f}s",
+          file=sys.stderr, flush=True)
     model = _model()
     variables, dates, pad_mask = _inputs(model)
+    print(f"# init done t={time.perf_counter() - T_START:.0f}s",
+          file=sys.stderr, flush=True)
 
     def do_tile():
         RESULTS["tile_pps"] = round(
