@@ -148,10 +148,15 @@ def _inputs(model, b=B):
     dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
                      (b, 1))
     pad_mask = pad_mask_from_lengths(jnp.full((b,), T), T)
-    x0 = jax.random.normal(jax.random.PRNGKey(0), (b, T, H, W, C),
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, T, H, W, C),
                            jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(1), x0, dates,
-                           pad_mask=pad_mask, train=False)
+    # jit + B=1: an unjitted init dispatches the whole forward as eager ops
+    # (minutes on the relay on a bad day — ate the entire round-3 validation
+    # budget); params are batch-independent so a compiled B=1 init is
+    # equivalent and cheap.
+    variables = jax.jit(
+        lambda k, x, d, m: model.init(k, x, d, pad_mask=m, train=False)
+    )(jax.random.PRNGKey(1), x0, dates[:1], pad_mask[:1])
     return variables, dates, pad_mask
 
 
@@ -342,11 +347,13 @@ def bench_train_step(model, train_b=TRAIN_B):
     y = jax.random.randint(jax.random.PRNGKey(5), (train_b, H, W), 0,
                            K_CLASSES)
     batch = {"x": x, "dates": dates, "pad_mask": pad_mask, "y": y}
-    # init with a B=1 slice: params are batch-independent, and the eager
-    # init path (is_initializing takes the monolithic XLA branch) would
-    # materialize TimeUNet's full-res embed at B=16 — an instant OOM.
-    variables = model.init(jax.random.PRNGKey(6), x[:1], dates[:1],
-                           pad_mask=pad_mask[:1], train=False)
+    # jit + B=1 slice: params are batch-independent, the eager init path
+    # (is_initializing takes the monolithic XLA branch) would materialize
+    # TimeUNet's full-res embed at B=16 (instant OOM), and an UNJITTED init
+    # dispatches eager ops one by one — minutes on a degraded relay.
+    variables = jax.jit(
+        lambda k, xx, d, m: model.init(k, xx, d, pad_mask=m, train=False)
+    )(jax.random.PRNGKey(6), x[:1], dates[:1], pad_mask[:1])
     cfg = StepConfig(num_classes=K_CLASSES,
                      class_weights=tuple([0.0] + [1.0] * 13 + [0.0]),
                      label_smoothing=0.1)

@@ -50,6 +50,13 @@ class WTAE(nn.Module):
     use_doy: bool = False
     add_linear: bool = False
     add_boundary_loss: bool = False
+    # Activation checkpointing on the temporally-shared blocks (in_conv +
+    # the depthwise reduction pyramid run over B*T frames — the memory
+    # cost; the post-collapse UNet stays stored). remat_policy='conv_out'
+    # stores conv outputs and recomputes only the GN/ReLU tails (see
+    # models/utae.py).
+    remat: bool = False
+    remat_policy: str | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -68,12 +75,21 @@ class WTAE(nn.Module):
         else:
             in_block, down_block, up_block, out_block = (
                 ConvBlock, DownConvBlock, UpConvBlock, ConvBlock)
+        if self.remat:
+            policy = (jax.checkpoint_policies.save_only_these_names(
+                "conv_out") if self.remat_policy == "conv_out" else None)
+            # only the temporally-shared stages (B*T frames) are worth
+            # rematerializing; the post-collapse UNet blocks reuse
+            # down_block, whose recompute is tiny at (B, H, W, C).
+            in_block = nn.remat(in_block, static_argnums=(2,), policy=policy)
+            down_block = nn.remat(down_block, static_argnums=(2,),
+                                  policy=policy)
 
         in_conv = in_block(
             nkernels=(self.input_dim, enc_w[0], enc_w[0]), norm=self.encoder_norm,
             padding_mode=self.padding_mode, conv_type=self.conv_type,
             add_squeeze=self.add_squeeze_excit, dtype=self.dtype, name="in_conv")
-        full = temporally_shared(lambda f: in_conv(f, train=train), x,
+        full = temporally_shared(lambda f: in_conv(f, train), x,
                                  pad_mask, self.pad_value)
 
         # Depthwise-separable spatial reduction pyramid (reference :148-162,
@@ -86,7 +102,7 @@ class WTAE(nn.Module):
                 padding_mode=self.padding_mode, conv_type="depthwise_separable",
                 add_squeeze=self.add_squeeze_excit, dtype=self.dtype,
                 name=f"spatial_reduction_{i}")
-            reduced = temporally_shared(lambda f, blk=blk: blk(f, train=train),
+            reduced = temporally_shared(lambda f, blk=blk: blk(f, train),
                                         reduced, pad_mask, self.pad_value)
 
         att = LTAE4WTAE(
@@ -110,7 +126,7 @@ class WTAE(nn.Module):
                 p=self.str_conv_p, norm=self.encoder_norm,
                 padding_mode=self.padding_mode, conv_type=self.conv_type,
                 add_squeeze=self.add_squeeze_excit, dtype=self.dtype,
-                name=f"down_{i}")(feature_maps[-1], train=train)
+                name=f"down_{i}")(feature_maps[-1], train)
             feature_maps.append(out)
 
         maps = [out]
