@@ -51,6 +51,10 @@ def get_model(config: Mapping[str, Any] | Any):
         return WTAE(agg_mode=cfg.get("agg_mode", "att_group"),
                     use_mbconv=cfg.get("use_mbconv", False),
                     add_boundary_loss=cfg.get("add_boundary_loss", False),
+                    remat=cfg.get("remat", False),
+                    remat_policy=(None if cfg.get("remat_policy",
+                                                  "conv_out") == "full"
+                                  else cfg.get("remat_policy", "conv_out")),
                     **common)
     if name in ("timeunet", "timeunet_v1"):
         from crop2seg_tpu.models.timeunet import TimeUNet
