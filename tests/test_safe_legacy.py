@@ -142,13 +142,22 @@ def test_crop_by_shape(safe_tree):
     assert (new.c, new.f) == (500000.0, 5600000.0)
 
 
-def test_merge_bands_npz(safe_tree, tmp_path):
-    safe, _ = safe_tree
+def test_merge_bands_roundtrip(safe_tree, tmp_path):
+    safe, data = safe_tree
     out = sl.merge_bands(safe, str(tmp_path / "merged.tif"), "R20m")
-    blob = np.load(out) if out.endswith(".npz") else None
-    if blob is not None:
-        assert blob["data"].shape == (9, 6, 6)
-        assert int(blob["crs"]) == 32633
+    if out.endswith(".npz"):
+        blob = np.load(out)
+        stack, crs = blob["data"], int(blob["crs"])
+    else:
+        import rasterio
+
+        with rasterio.open(out) as src:
+            stack = src.read()
+            crs = src.crs.to_epsg()
+            assert (src.transform.a, src.transform.e) == (20.0, -20.0)
+    assert stack.shape == (9, 6, 6)
+    assert crs == 32633
+    np.testing.assert_array_equal(stack[0], data[("R20m", "B02")])
 
 
 class _FakeResp:
@@ -195,3 +204,35 @@ def test_overpasses_cycle_replication(tmp_path):
     assert os.path.exists(csv)
     with pytest.raises(RuntimeError):
         sl.sentinel2_overpasses((15.0, 50.0), session=None)
+
+
+def test_l1c_flat_layout(tmp_path):
+    """L1C products keep bands in a flat IMG_DATA folder (no R{res}m
+    subdirs) — reference sentinel_load_channel globs both layouts."""
+    base = tmp_path / "L1C.SAFE" / "GRANULE" / "L1C_T33UVR" / "IMG_DATA"
+    os.makedirs(base)
+    rng = np.random.default_rng(1)
+    arrs = {}
+    for band in ("B05", "B06", "B11"):
+        arr = rng.integers(0, 10000, (4, 4)).astype(np.uint16)
+        np.save(base / f"T33UVR_20240501T100031_{band}.npy", arr)
+        arrs[band] = arr
+    files = sl.find_band_files(str(tmp_path / "L1C.SAFE"), "R20m")
+    assert set(files) == {"B05", "B06", "B11"}
+    ch = sl.load_channel(str(tmp_path / "L1C.SAFE"), "R20m")
+    assert ch.shape == (3, 4, 4)
+    np.testing.assert_array_equal(ch[0], arrs["B05"])
+
+
+def test_rescale_cubic_upscale_matches_raster_prep():
+    from crop2seg_tpu.gis.raster_prep import cubic_upsample
+
+    x = np.arange(16, dtype=np.float32).reshape(1, 4, 4)
+    y = sl.rescale(x, 2, "cubic")
+    np.testing.assert_allclose(y[0], cubic_upsample(x[0], 2))
+    import pytest
+
+    with pytest.raises(ValueError):
+        sl.rescale(x, 1.5)
+    with pytest.raises(ValueError):
+        sl.rescale(x, 1 / 3 + 1e-3)
