@@ -453,7 +453,8 @@ def main():
         if time_left() > 90:
             RESULTS["wtae_train"] = round(bench_train_step(
                 WTAE(input_dim=C, out_conv=(32, K_CLASSES),
-                     dtype=jnp.bfloat16, remat=True)), 3)
+                     dtype=jnp.bfloat16, remat=True,
+                     remat_policy="conv_out")), 3)
             print(f"# wtae train {RESULTS['wtae_train']} steps/s "
                   f"t={BUDGET - time_left():.0f}s", file=sys.stderr,
                   flush=True)
