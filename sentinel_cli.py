@@ -35,6 +35,16 @@ parser.add_argument("--time_series", action="store_true",
 parser.add_argument("--unzip", action="store_true")
 parser.add_argument("--query_only", action="store_true",
                     help="print the ranked candidates, download nothing")
+parser.add_argument("--overpass", action="store_true",
+                    help="predict upcoming Sentinel-2A/B overpasses for the "
+                         "AOI (reference sentinel2_overpasses, "
+                         "sentinel.py:1342-1428) and print/export a CSV")
+parser.add_argument("--days_after", default=7, type=int,
+                    help="prediction horizon in days for --overpass")
+parser.add_argument("--overpass_csv", default=None,
+                    help="optional CSV output path for --overpass")
+parser.add_argument("--api_key", default=None,
+                    help="spectator.earth API key for --overpass")
 parser.add_argument("--account", default=None)
 parser.add_argument("--password", default=None)
 
@@ -49,6 +59,29 @@ def main(argv=None):
         cfg.account = args.account
     if args.password:
         cfg.password = args.password
+
+    if args.overpass:
+        import requests
+
+        from crop2seg_tpu.gis.safe_legacy import sentinel2_overpasses
+
+        polygon = json.loads(args.polygon) if args.polygon else None
+        if polygon:
+            lons = [p[0] for p in polygon]
+            lats = [p[1] for p in polygon]
+            aoi = (min(lons), min(lats), max(lons), max(lats))
+        else:
+            aoi = (19.59, 49.90, 20.33, 50.21)  # reference default AOI
+        rows = sentinel2_overpasses(aoi, days_after=args.days_after,
+                                    session=requests.Session(),
+                                    api_key=args.api_key,
+                                    export_csv=args.overpass_csv)
+        for r in rows:
+            logging.info("%s  %s  acquisition=%s  (%.3f, %.3f)",
+                         r["date"].isoformat(), r["satellite"],
+                         r["acquisition"], r["longitude"], r["latitude"])
+        return 0
+
     out_dir = args.path_dataset or cfg.sentinel_path_dataset
     if not out_dir:
         parser.error("--path_dataset (or config path_dataset) is required")
