@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 from crop2seg_tpu.gis import safe_legacy as sl
-from crop2seg_tpu.gis.raster import Affine
 
 MTD_TL = """<?xml version="1.0"?>
 <n1:Level-2A_Tile_ID xmlns:n1="https://psd">
