@@ -244,12 +244,14 @@ def bench_whole_tile(model, variables, dates, pad_mask):
 
 
 BENCH_CELL = "/tmp/c2s_bench_cell"
+WARM_CELL = "/tmp/c2s_warm_cell"
 
 
-def _ensure_bench_cell(folder=BENCH_CELL):
-    """Real on-disk inference cell: 100 uint16 npy archives (T=61, 10ch,
+def _ensure_bench_cell(folder=BENCH_CELL, n_patches=100):
+    """Real on-disk inference cell: uint16 npy archives (T=61, 10ch,
     128^2 — the reference's DATA_S2 dtype, sentinel2raster.py:396 profile)
-    plus webapp-style metadata. ~2 GB, built once and reused across runs."""
+    plus webapp-style metadata. ~2 GB at 100 patches, built once and reused
+    across runs; a 16-patch side cell serves as a cheap stream warmup."""
     if os.path.exists(os.path.join(folder, "metadata.json")):
         return
     os.makedirs(os.path.join(folder, "DATA_S2"), exist_ok=True)
@@ -258,7 +260,7 @@ def _ensure_bench_cell(folder=BENCH_CELL):
     dates = {str(j): int(str(start + np.timedelta64(5 * j, "D"))
                          .replace("-", "")) for j in range(T)}
     records = []
-    for i in range(100):
+    for i in range(n_patches):
         np.save(f"{folder}/DATA_S2/S2_{i}.npy",
                 rng.integers(0, 10000, (T, C, H, W)).astype(np.uint16))
         records.append({"ID_PATCH": i, "TILE": "T33UVR", "Status": "OK",
@@ -305,8 +307,15 @@ def bench_disk_to_map(model, variables):
     ds = S2TSCZCropDataset(BENCH_CELL, norm=True, norm_values=norm,
                            set_type="train", for_inference=True,
                            reference_date="2018-09-01")
-    # warm-up: compile + page cache
-    stream_tile_inference(model, variables, ds, batch_size=10)
+    # warm-up on a 16-patch side cell: compiles the SAME jitted stream
+    # program (chunk shapes are batch_size-padded, and the executable is
+    # cached by (model, layout)) while uploading 320 MB instead of 2 GB —
+    # ~25 s instead of ~100 s on a degraded relay.
+    _ensure_bench_cell(WARM_CELL, 16)
+    warm_ds = S2TSCZCropDataset(WARM_CELL, norm=True, norm_values=norm,
+                                set_type="train", for_inference=True,
+                                reference_date="2018-09-01")
+    stream_tile_inference(model, variables, warm_ds, batch_size=10)
     best, best_tl = 0.0, None
     for _ in range(2 if time_left() > 150 else 1):
         tl: dict = {}
