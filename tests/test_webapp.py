@@ -212,3 +212,56 @@ def test_cell_grid_figure_renders():
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_stream_tile_inference_partial_cell(tmp_path):
+    """The bench's warm cell streams 16 patches through the SAME jitted
+    program (batch_size-padded chunks) and stitches a 4x4 patch grid to
+    512^2 — the cheap-warmup path of bench.bench_disk_to_map."""
+    import jax
+    import jax.numpy as jnp
+
+    from crop2seg_tpu.data import S2TSCZCropDataset
+    from crop2seg_tpu.models import TimeUNet
+    from crop2seg_tpu.webapp.pipeline import stream_tile_inference
+
+    folder = str(tmp_path / "cell16")
+    os.makedirs(folder + "/DATA_S2")
+    rng = np.random.default_rng(0)
+    t = 5
+    records = []
+    for i in range(16):
+        np.save(f"{folder}/DATA_S2/S2_{i}.npy",
+                rng.normal(500, 100, (t, 10, 32, 32)).astype(np.float32))
+        records.append({"ID_PATCH": i, "TILE": "T33UVR", "Status": "OK",
+                        "time-series_length": t, "crs": 32633, "set": "",
+                        "Fold": 1,
+                        "dates-S2": {str(j): 20190100 + j + 1
+                                     for j in range(t)},
+                        "affine": [10.0, 0.0, 500000.0, 0.0, -10.0,
+                                   5600000.0]})
+    json.dump(records, open(f"{folder}/metadata.json", "w"))
+    norm = {"mean": np.full(10, 500.0, np.float32),
+            "std": np.full(10, 100.0, np.float32)}
+    ds = S2TSCZCropDataset(folder, norm=True, norm_values=norm,
+                           set_type="train", for_inference=True,
+                           reference_date="2018-09-01")
+    model = TimeUNet(input_dim=10, encoder_widths=(8, 8, 16),
+                     decoder_widths=(4, 8, 16), out_conv=(8, 15), n_head=4,
+                     d_model=32, d_k=4)
+    item = ds[0]
+    x0 = jnp.asarray(item["x"])[None]
+    dates = jnp.asarray(item["dates"])[None]
+    variables = model.init(jax.random.PRNGKey(0), x0, dates, train=False)
+    tl = {}
+    proba, classes = stream_tile_inference(model, variables, ds,
+                                           batch_size=10, timeline=tl)
+    # 16 patches of 32^2 -> 4x4 grid -> 128^2 map (out_hw crop is a no-op)
+    assert classes.shape == (128, 128)
+    assert proba.shape == (128, 128, 15)
+    assert np.isfinite(proba).all()
+    np.testing.assert_allclose(proba.sum(-1), 1.0, atol=1e-3)
+    if tl.get("total"):  # serial path on the 1-core harness
+        stages = tl["decode"] + tl["upload"] + tl["dispatch"] + tl["fetch"]
+        assert stages <= tl["total"] + 1e-6
+        assert tl["bytes_up"] > 0
