@@ -10,8 +10,10 @@ Core four (always measured first, in this order):
 3. TimeUNet train-step throughput (fwd+bwd+Adam+metrics, bf16, B=16,
    custom-VJP Pallas kernel pair, no remat).
 4. UTAE train-step throughput (bf16 + remat, B=16).
+5. honest disk->crop-map rate on the 16-patch warm cell (the e2e number a
+   webapp user sees; guaranteed a slot right after the core four).
 Extras, best-effort within the wall-clock budget: WTAE forward + train,
-relay uplink probe, honest disk->crop-map rate.
+relay uplink probe, the full 100-patch (2 GB) disk->map cell.
 
 Budget contract (round-2 lesson: BENCH_r02 hit the driver timeout and the
 JSON line was never printed): a global deadline (C2S_BENCH_BUDGET seconds,
@@ -47,6 +49,14 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: verified to work through the axon relay
+# (probe: 4.1 s cold -> 0.7 s warm in a fresh process). The ~6 first-compiles
+# used to eat ~360 s of the budget (r3: 68.8+59.8+76.5+57.0+50.5+48.5 s) and
+# squeezed out the last section; with a warm cache the whole run fits with
+# room to spare. Cold runs still work — they just pay the compiles once.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("C2S_JAX_CACHE", "/tmp/c2s_jax_cache"))
 
 T_START = time.perf_counter()
 # 640 s: the round-2 driver killed bench.py past ~650 s with SIGTERM
@@ -104,8 +114,13 @@ def emit(rc: int = 0) -> None:
         "wtae_forward_patches_per_sec": RESULTS.get("wtae_fwd"),
         "wtae_train_steps_per_sec": RESULTS.get("wtae_train"),
         "relay_uplink_mb_per_sec": RESULTS.get("uplink"),
-        "e2e_uplink_ceiling_patches_per_sec": RESULTS.get("uplink_cap"),
+        # the ambient-probe-derived ceiling is only meaningful next to a
+        # same-session stream number (the relay is non-stationary, 13-47 MB/s
+        # within one session) — drop it when the stream didn't run
+        "e2e_uplink_ceiling_patches_per_sec": (
+            RESULTS.get("uplink_cap") if RESULTS.get("disk_map") else None),
         "e2e_disk_to_map_patches_per_sec": RESULTS.get("disk_map"),
+        "e2e_disk_to_map_cell_patches": RESULTS.get("disk_map_n"),
         "e2e_stage_budget_sec": RESULTS.get("disk_map_budget"),
         "e2e_effective_uplink_mb_per_sec": RESULTS.get(
             "disk_map_effective_uplink_mb_per_sec"),
@@ -291,53 +306,88 @@ def bench_uplink():
     return a.nbytes / 1e6 / best
 
 
-def bench_disk_to_map(model, variables):
-    """Honest end-to-end whole-tile rate: npy archives on DISK -> native
-    decode (planar bf16, recycled buffers) overlapped with the chip ->
-    host-stitched 1098^2 class map (stream_tile_inference). This is the
-    number a webapp user sees (reference pipeline:
-    /root/reference/src/webapp/prediction.py:253-355). NOTE: on this
-    harness the rate is relay-uplink-bound (see bench_uplink), not
-    compute- or decode-bound."""
-    from crop2seg_tpu.data import S2TSCZCropDataset
-    from crop2seg_tpu.webapp.pipeline import stream_tile_inference
-
-    norm = {"mean": np.full(C, 5000.0, np.float32),
-            "std": np.full(C, 2000.0, np.float32)}
-    ds = S2TSCZCropDataset(BENCH_CELL, norm=True, norm_values=norm,
-                           set_type="train", for_inference=True,
-                           reference_date="2018-09-01")
-    # warm-up on a 16-patch side cell: compiles the SAME jitted stream
-    # program (chunk shapes are batch_size-padded, and the executable is
-    # cached by (model, layout)) while uploading 320 MB instead of 2 GB —
-    # ~25 s instead of ~100 s on a degraded relay.
-    _ensure_bench_cell(WARM_CELL, 16)
-    warm_ds = S2TSCZCropDataset(WARM_CELL, norm=True, norm_values=norm,
-                                set_type="train", for_inference=True,
-                                reference_date="2018-09-01")
-    stream_tile_inference(model, variables, warm_ds, batch_size=10)
-    best, best_tl = 0.0, None
-    for _ in range(2 if time_left() > 150 else 1):
-        tl: dict = {}
-        t0 = time.perf_counter()
-        proba, classes = stream_tile_inference(model, variables, ds,
-                                               batch_size=10,
-                                               timeline=tl)
-        dt = time.perf_counter() - t0
-        if 100 / dt > best:
-            best, best_tl = 100 / dt, tl
-    assert classes.shape == (1098, 1098) and np.isfinite(proba).all()
-    if best_tl and best_tl.get("total"):
+def _publish_disk_map(rate, tl, n_patches):
+    """Record a disk->map measurement (keep the best rate seen so far)."""
+    if rate <= RESULTS.get("disk_map", 0.0):
+        return
+    RESULTS["disk_map"] = round(rate, 2)
+    RESULTS["disk_map_n"] = n_patches
+    if tl and tl.get("total"):
         # per-stage budget summing to the observed rate (the relay's shared
         # tunnel makes the ambient uplink probe non-stationary — 13-47 MB/s
         # within one session — so the in-stream effective rate is the only
         # number that attributes THIS run)
-        xfer = best_tl["upload"] + best_tl["fetch"]
-        RESULTS["disk_map_budget"] = {
-            k: round(best_tl[k], 1)
-            for k in ("decode", "upload", "dispatch", "fetch", "total")}
+        xfer = tl["upload"] + tl["fetch"]
+        RESULTS["disk_map_budget"] = dict(
+            {k: round(tl[k], 1)
+             for k in ("decode", "upload", "dispatch", "fetch", "total")},
+            n_patches=n_patches)
         RESULTS["disk_map_effective_uplink_mb_per_sec"] = round(
-            best_tl["bytes_up"] / 1e6 / max(xfer, 1e-9), 1)
+            tl["bytes_up"] / 1e6 / max(xfer, 1e-9), 1)
+
+
+def _stream_dataset(folder):
+    from crop2seg_tpu.data import S2TSCZCropDataset
+
+    norm = {"mean": np.full(C, 5000.0, np.float32),
+            "std": np.full(C, 2000.0, np.float32)}
+    return S2TSCZCropDataset(folder, norm=True, norm_values=norm,
+                             set_type="train", for_inference=True,
+                             reference_date="2018-09-01")
+
+
+def bench_disk_to_map_warm(model, variables):
+    """Honest end-to-end disk->crop-map rate on the 16-patch warm cell:
+    npy archives on DISK -> native decode (planar bf16, recycled buffers)
+    overlapped with the chip -> host-stitched class map
+    (stream_tile_inference). This is the number a webapp user sees
+    (reference pipeline: /root/reference/src/webapp/prediction.py:253-355).
+    NOTE: on this harness the rate is relay-uplink-bound (see bench_uplink),
+    not compute- or decode-bound. Runs FIRST (right after the core four,
+    ~35 s warm) so a driver-captured e2e number lands in every artifact —
+    r2 timed out before this section and r3 self-skipped it (VERDICT r3
+    item 1); the full 100-patch cell refines it when budget remains."""
+    from crop2seg_tpu.webapp.pipeline import stream_tile_inference
+
+    _ensure_bench_cell(WARM_CELL, 16)
+    warm_ds = _stream_dataset(WARM_CELL)
+    # compile/warm pass (jit closure cached by (model, layout) afterwards)
+    stream_tile_inference(model, variables, warm_ds, batch_size=10)
+    best, best_tl = 0.0, None
+    for _ in range(2):
+        tl: dict = {}
+        t0 = time.perf_counter()
+        proba, classes = stream_tile_inference(model, variables, warm_ds,
+                                               batch_size=10, timeline=tl)
+        rate = 16 / (time.perf_counter() - t0)
+        if rate > best:
+            best, best_tl = rate, tl
+    assert classes.shape[0] == classes.shape[1] and np.isfinite(proba).all()
+    _publish_disk_map(best, best_tl, 16)
+    return best
+
+
+def bench_disk_to_map_full(model, variables):
+    """Full 100-patch (2 GB) cell -> 1098^2 map; refines the warm-cell
+    number when the budget allows. The stream program is already compiled
+    by the warm-cell section."""
+    from crop2seg_tpu.webapp.pipeline import stream_tile_inference
+
+    _ensure_bench_cell()
+    ds = _stream_dataset(BENCH_CELL)
+    best, best_tl = 0.0, None
+    for _ in range(2 if time_left() > 280 else 1):
+        tl: dict = {}
+        t0 = time.perf_counter()
+        proba, classes = stream_tile_inference(model, variables, ds,
+                                               batch_size=10, timeline=tl)
+        rate = 100 / (time.perf_counter() - t0)
+        if rate > best:
+            best, best_tl = rate, tl
+        if time_left() < 130:
+            break
+    assert classes.shape == (1098, 1098) and np.isfinite(proba).all()
+    _publish_disk_map(best, best_tl, 100)
     return best
 
 
@@ -477,27 +527,35 @@ def main():
               f"{RESULTS['uplink_cap']} p/s on this harness)",
               file=sys.stderr, flush=True)
 
-    def do_disk_map():
-        # building the 2 GB cell from scratch costs ~2 min on top of the
-        # ~3 runs; only attempt a cold build with a wide-open budget
-        if (not os.path.exists(os.path.join(BENCH_CELL, "metadata.json"))
-                and time_left() < 330):
-            print("# skip disk->map: bench cell absent and budget tight",
-                  file=sys.stderr, flush=True)
-            return
-        _ensure_bench_cell()
-        RESULTS["disk_map"] = round(bench_disk_to_map(model, variables), 2)
-        print(f"# disk->map {RESULTS['disk_map']} p/s "
+    def do_disk_map_warm():
+        rate = bench_disk_to_map_warm(model, variables)
+        print(f"# disk->map warm-cell {rate:.2f} p/s "
               f"t={BUDGET - time_left():.0f}s", file=sys.stderr, flush=True)
 
-    # core four first — these are the contract; extras best-effort after
+    def do_disk_map_full():
+        # building the 2 GB cell from scratch costs ~2 min on top of the
+        # runs; only attempt a cold build with a wide-open budget
+        if (not os.path.exists(os.path.join(BENCH_CELL, "metadata.json"))
+                and time_left() < 330):
+            print("# skip disk->map full: cell absent and budget tight",
+                  file=sys.stderr, flush=True)
+            return
+        rate = bench_disk_to_map_full(model, variables)
+        print(f"# disk->map full-cell {rate:.2f} p/s "
+              f"t={BUDGET - time_left():.0f}s", file=sys.stderr, flush=True)
+
+    # core four first — these are the contract; the warm-cell e2e stream
+    # runs FIFTH (VERDICT r3 item 1: the e2e number must land in the
+    # artifact before the remaining extras get a chance to eat the budget);
+    # WTAE / uplink / the full 100-patch cell are best-effort after.
     section("tile", 0, do_tile)
     section("fwd", 45, do_fwd)
     section("timeunet_train", 75, do_tu_train)
     section("utae_train", 80, do_utae_train)
+    section("disk_map_warm", 45, do_disk_map_warm)
     section("wtae", 110, do_wtae)
     section("uplink", 20, do_uplink)
-    section("disk_map", 130, do_disk_map)
+    section("disk_map_full", 130, do_disk_map_full)
     emit(0)
 
 

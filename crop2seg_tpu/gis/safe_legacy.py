@@ -151,21 +151,45 @@ def load_tile_20m(safe_dir: str, only_20m: bool = True,
     return np.concatenate(parts, axis=0)
 
 
-def _gml_polygons(path: str) -> List[List[Tuple[float, float]]]:
-    """Exterior rings from a legacy GML mask (MSK_CLOUDS_B00.gml — the
-    pre-04.00-baseline vector cloud masks the reference's
-    sentinel_load_mask rasterizes, sentinel.py:913-1028)."""
-    rings = []
-    root = ET.parse(path).getroot()
-    for pos in root.iter():
-        if not pos.tag.endswith("posList"):
-            continue
+def _gml_polygons(path: str) -> List[List[List[Tuple[float, float]]]]:
+    """Polygons (exterior ring first, then any interior/hole rings) from a
+    legacy GML mask (MSK_CLOUDS_B00.gml — the pre-04.00-baseline vector
+    cloud masks the reference's sentinel_load_mask rasterizes,
+    sentinel.py:913-1028). Rings of one gml:Polygon are grouped into one
+    entry so the even-odd rasterizer leaves holes unfilled; bare posLists
+    outside any Polygon element become single-ring polygons."""
+    def _pts(pos):
         vals = [float(v) for v in pos.text.split()]
         dim = int(pos.attrib.get("srsDimension", 2))
         pts = [(vals[i], vals[i + 1]) for i in range(0, len(vals), dim)]
-        if len(pts) >= 3:
-            rings.append(pts)
-    return rings
+        return pts if len(pts) >= 3 else None
+
+    root = ET.parse(path).getroot()
+    polys: List[List[List[Tuple[float, float]]]] = []
+    claimed: set = set()
+    for poly in root.iter():
+        if not poly.tag.endswith("Polygon"):
+            continue
+        rings: List[List[Tuple[float, float]]] = []
+        for boundary in poly:
+            is_exterior = boundary.tag.endswith("exterior")
+            for pos in boundary.iter():
+                if pos.tag.endswith("posList"):
+                    claimed.add(id(pos))
+                    pts = _pts(pos)
+                    if pts:
+                        if is_exterior:
+                            rings.insert(0, pts)
+                        else:
+                            rings.append(pts)
+        if rings:
+            polys.append(rings)
+    for pos in root.iter():
+        if pos.tag.endswith("posList") and id(pos) not in claimed:
+            pts = _pts(pos)
+            if pts:
+                polys.append([pts])
+    return polys
 
 
 def load_cloud_mask(safe_dir: str, resolution: str = "R20m",
@@ -196,8 +220,10 @@ def load_cloud_mask(safe_dir: str, resolution: str = "R20m",
             f"no SCL/CLDPRB/GML {kind} mask in {safe_dir}")
     affine, shape, _ = tile_geoposition(safe_dir, resolution)
     from crop2seg_tpu.gis.vectorize import rasterize_polygons
-    feats = [{"rings": [rings], "value": 1}
-             for rings in _gml_polygons(match[0])]
+    # one feature per polygon (exterior + holes): the even-odd scanline in
+    # rasterize_polygons keeps interior rings uncloudy
+    feats = [{"rings": poly, "value": 1}
+             for poly in _gml_polygons(match[0])]
     return rasterize_polygons(feats, shape, affine).astype(bool)
 
 

@@ -323,10 +323,15 @@ def raster_to_points(path: str, stride: int = 1) -> Dict[str, np.ndarray]:
     from crop2seg_tpu.gis.raster import load_prediction_raster
 
     data, affine, _crs = load_prediction_raster(path)
-    if data.shape[0] > 1:  # band 0 = classes, bands 1..K = probabilities
-        return prediction_to_points(np.moveaxis(data[1:], 0, -1), affine,
-                                    stride)
-    return prediction_to_points(data[0].astype(np.int64), affine, stride)
+    # 'value' comes from the stored class band (band 0), NOT argmax of the
+    # probability bands: the class band may have been postprocessed (e.g.
+    # homogenized via gis.postprocess) before save_prediction_raster, and
+    # re-deriving it would silently disagree with the raster.
+    pts = prediction_to_points(data[0].astype(np.int64), affine, stride)
+    if data.shape[0] > 1:  # bands 1..K = probabilities
+        rows, cols = np.mgrid[0:data.shape[1]:stride, 0:data.shape[2]:stride]
+        pts["proba"] = np.moveaxis(data[1:], 0, -1)[rows.ravel(), cols.ravel()]
+    return pts
 
 
 def write_point_shapefile(path: str, points: Dict[str, np.ndarray]

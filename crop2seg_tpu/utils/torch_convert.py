@@ -486,6 +486,34 @@ def convert_tae2d(sd, classical=True, n_stages=1, add_linear=False):
     return {"params": params, "batch_stats": stats}
 
 
+def convert_timeunet_v2(sd, n_stages=3, **_):
+    """TimeUNet_v2 state dict -> flax variables (reference
+    timeunet.py:214-429). The golden fixture is generated with the
+    documented constructor/forward patches in scripts/make_golden.py
+    (``timeunet_v2_patched``) — the parameters themselves are the
+    reference's own; only the broken glue is corrected."""
+    params, stats = {}, {}
+    _stitch(params, stats, "in_conv",
+            convert_conv_layer(sd, "in_conv.conv", 2, "any"))
+    params["in_conv"] = {"conv": params["in_conv"]}
+    if "in_conv" in stats:
+        stats["in_conv"] = {"conv": stats["in_conv"]}
+    for i in range(n_stages - 1):
+        _stitch(params, stats, f"down_{i}",
+                convert_down_block(sd, f"down_blocks.{i}"))
+        _stitch(params, stats, f"up_{i}", convert_up_block(sd, f"up_blocks.{i}"))
+    for name, classical in (("temporal_encoder_full_resolution", True),
+                            ("temporal_encoder_low_resolution", False)):
+        sub = {k[len(name) + 1:]: v for k, v in sd.items()
+               if k.startswith(name + ".")}
+        _stitch(params, stats, name, convert_tae2d(sub, classical=classical))
+    oc = convert_conv_layer(sd, "out_conv.conv", 2, "any")
+    params["out_conv"] = {"conv": oc["params"]}
+    if "batch_stats" in oc:
+        stats["out_conv"] = {"conv": oc["batch_stats"]}
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_unet_naive(sd, n_stages=4):
     """Unet_naive state dict -> flax variables (reference unet.py:172-349).
     Same module inventory as UTAE minus the temporal encoder; all norms are

@@ -401,6 +401,115 @@ def unet_plain():
 
 GROUPS["unet_plain"] = unet_plain
 
+
+def timeunet_v2_patched():
+    """PATCHED-FIXTURE golden for TimeUNet_v2 (reference
+    timeunet.py:214-429) — the module is unconstructable/shape-inconsistent
+    as shipped (PARITY.md, verified on torch CPU), so this fixture applies
+    three documented patches that fix exactly the crash sites while keeping
+    every reference parameter and submodule:
+
+    1. tae.py:117-118: ``embedding_reduction=None`` (hard-coded by
+       timeunet.py:358) crashes ``.lower()`` — mapped to the string "none",
+       which matches no reduction branch, i.e. the intended no-reduction
+       semantics.
+    2. tae.py:325-346 (classical, no reduction): the (T, d) SEQUENCE is fed
+       through BatchNorm1d/GroupNorm sized for channels and then T is
+       flattened into channels — runnable only for special sizes, and then
+       with the norms over the wrong axis. ``_SeqClassicalTAE`` re-drives
+       the module's OWN submodules (in_norm, inconv, positional_encoder,
+       attention_heads, mlp, dropout, out_norm) with per-timestep norms and
+       a (B, T, C, H, W) sequence return — the corrected semantics
+       crop2seg_tpu.nn.tae2d implements.
+    3. tae.py:160-161: the lightweight constructor force-nulls both
+       reductions, so nothing ever removes the singleton num_queries dim
+       and the MLP's BatchNorm1d sees C=1 (the working LTAE squeezes it at
+       tae.py:480-504). Restoring 'mean' reductions (= that squeeze at
+       nq=1) + ``stack_stages=True`` (the reduced-embeddings list is never
+       copied back into ``out`` otherwise, tae.py:284-327) makes the
+       shipped forward itself produce the corrected result.
+    """
+    from einops import repeat
+
+    from src.backbones import tae as tae_mod
+    from src.backbones.timeunet import TimeUNet_v2
+
+    orig_init = tae_mod.TAE2d.__init__
+
+    def patched_init(self, *a, **kw):
+        for key in ("embedding_reduction", "attention_mask_reduction"):
+            if key in kw and kw[key] is None:
+                kw[key] = "none"  # patch 1: .lower()-safe no-reduction
+        orig_init(self, *a, **kw)
+
+    class _SeqClassicalTAE(torch.nn.Module):
+        """Patch 2: corrected no-reduction classical forward over the
+        wrapped reference TAE2d's own parameters."""
+
+        def __init__(self, tae):
+            super().__init__()
+            self.tae = tae
+
+        def forward(self, x, batch_positions=None, pad_mask=None):
+            tae = self.tae
+            b, t, d, h, w = x.shape
+            out = x.permute(0, 3, 4, 1, 2).contiguous().view(b * h * w, t, d)
+            out = tae.in_norm(out.permute(0, 2, 1)).permute(0, 2, 1)
+            if tae.inconv is not None:
+                out = tae.inconv(out.permute(0, 2, 1)).permute(0, 2, 1)
+            if pad_mask is not None:  # expand to pixel rows (tae.py:218-222)
+                pad_mask = repeat(pad_mask, 'b t -> b t h w', h=h, w=w)
+                pad_mask = pad_mask.permute(0, 2, 3, 1).contiguous().view(
+                    b * h * w, t)
+            if tae.positional_encoder is not None:
+                bp = repeat(batch_positions, 'b t -> b t h w', h=h, w=w)
+                bp = bp.permute(0, 2, 3, 1).contiguous().view(b * h * w, t)
+                out = out + tae.positional_encoder(bp)
+            attn = None
+            for i in range(tae.num_attention_stages):
+                out, attn = tae.attention_heads[i](out, pad_mask=pad_mask)
+            for layer in tae.mlp:  # BN1d over features, per timestep
+                if isinstance(layer, torch.nn.BatchNorm1d):
+                    out = layer(out.transpose(1, 2)).transpose(1, 2)
+                else:
+                    out = layer(out)
+            out = tae.dropout(out)
+            out = tae.out_norm(out.transpose(1, 2)).transpose(1, 2)
+            out = out.view(b, h, w, t, -1).permute(0, 3, 4, 1, 2).contiguous()
+            return out, attn
+
+    tae_mod.TAE2d.__init__ = patched_init
+    try:
+        torch.manual_seed(90)
+        m = TimeUNet_v2(input_dim=C, encoder_widths=[4, 4, 8],
+                        decoder_widths=[2, 4, 8], out_conv=[2, 5],
+                        n_head=4, d_model=16, d_k=4, pad_value=0).eval()
+    finally:
+        tae_mod.TAE2d.__init__ = orig_init
+    # patch 3 (see docstring)
+    m.temporal_encoder_low_resolution.stack_stages = True
+    m.temporal_encoder_low_resolution.embedding_reduction = 'mean'
+    m.temporal_encoder_low_resolution.attention_mask_reduction = 'mean'
+    for mod in m.modules():
+        if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    sd = sd_np(m)  # canonical names, before the adapter wrap
+    m.temporal_encoder_full_resolution = _SeqClassicalTAE(
+        m.temporal_encoder_full_resolution)
+    # no padded frames: the classical attention's pad-mask expansion
+    # scrambles pixel rows (tae.py:681-684), so masked outputs are garbage;
+    # parity is only well-defined on the unmasked path (as for TAE2d).
+    x, dates = make_inputs(pad_last=(0, 0), seed=91)
+    with torch.no_grad():
+        y = m(x, batch_positions=dates)
+    save("timeunet_v2_patched", x=x.numpy(), dates=dates.numpy(),
+         y=y.numpy(), sd=sd)
+
+
+GROUPS["timeunet_v2"] = timeunet_v2_patched
+
 if __name__ == "__main__":
-    for g in (sys.argv[1:] or ["main", "recurrent", "extra", "unet_plain"]):
+    for g in (sys.argv[1:] or ["main", "recurrent", "extra", "unet_plain",
+                               "timeunet_v2"]):
         GROUPS[g]()

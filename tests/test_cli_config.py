@@ -33,3 +33,19 @@ def test_use_pallas_roundtrips_conf_json(tmp_path):
     ckpt.save_conf(str(tmp_path), vars(cfg))
     stored = ckpt.load_conf(str(tmp_path))
     assert stored["use_pallas"] == "true"
+
+
+def test_factory_rejects_unknown_remat_policy():
+    """A remat_policy typo must raise, not silently degrade to full
+    recompute (ADVICE r3, models/factory.py)."""
+    import pytest
+
+    from crop2seg_tpu.models.factory import get_model
+
+    for name in ("utae", "wtae"):
+        with pytest.raises(ValueError, match="remat_policy"):
+            get_model({"model": name, "remat_policy": "convout"})
+        m = get_model({"model": name, "remat_policy": "full"})
+        assert m.remat_policy is None
+        m = get_model({"model": name})
+        assert m.remat_policy == "conv_out"

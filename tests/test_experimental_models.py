@@ -115,3 +115,24 @@ def test_unet_ex():
     v = m.init(jax.random.PRNGKey(1), x, train=False)
     out = m.apply(v, x, train=False)
     assert out.shape == (2, 32, 32, 5)
+
+
+def test_timeunet_v2_patched_golden():
+    """Numerical parity vs the PATCHED reference TimeUNet_v2 fixture
+    (reference timeunet.py:214-429 is unconstructable as shipped; the
+    fixture applies the three documented patches in
+    scripts/make_golden.py::timeunet_v2_patched and keeps every reference
+    parameter — see the module docstring there)."""
+    from crop2seg_tpu.utils import torch_convert as tc
+    from tests.parity_utils import (assert_close, from_nhwc, load_fixture,
+                                    to_nhwc_seq)
+
+    arrays, sd = load_fixture("timeunet_v2_patched")
+    m = TimeUNetV2(input_dim=10, encoder_widths=(4, 4, 8),
+                   decoder_widths=(2, 4, 8), out_conv=(2, 5),
+                   n_head=4, d_model=16, d_k=4)
+    variables = tc.convert_timeunet_v2(sd, n_stages=3)
+    y = m.apply(variables, jnp.asarray(to_nhwc_seq(arrays["x"])),
+                jnp.asarray(arrays["dates"]), train=False)
+    assert_close(from_nhwc(np.asarray(y)), arrays["y"], rtol=5e-4, atol=5e-4,
+                 name="timeunet_v2_patched")

@@ -129,6 +129,50 @@ def test_cloud_mask_gml_fallback(safe_tree):
     assert mask.shape == (6, 6) and mask.all()
 
 
+GML_HOLE = """<?xml version="1.0"?>
+<eop:Mask xmlns:eop="http://eop" xmlns:gml="http://www.opengis.net/gml/3.2">
+ <gml:Polygon>
+  <gml:exterior><gml:LinearRing>
+   <gml:posList srsDimension="2">
+     500000 5600000 500120 5600000 500120 5599880 500000 5599880
+     500000 5600000
+   </gml:posList>
+  </gml:LinearRing></gml:exterior>
+  <gml:interior><gml:LinearRing>
+   <gml:posList srsDimension="2">
+     500040 5599960 500080 5599960 500080 5599920 500040 5599920
+     500040 5599960
+   </gml:posList>
+  </gml:LinearRing></gml:interior>
+ </gml:Polygon>
+</eop:Mask>
+"""
+
+
+def test_cloud_mask_gml_interior_hole(safe_tree):
+    """Interior (hole) rings must stay UNcloudy (ADVICE r3: each posList
+    used to rasterize as its own filled polygon, marking holes cloudy)."""
+    safe, _ = safe_tree
+    scl = os.path.join(safe, "GRANULE", "L2A_T33UVR", "IMG_DATA", "R20m",
+                       "T33UVR_SCL_20m.npy")
+    gml = os.path.join(safe, "GRANULE", "L2A_T33UVR", "QI_DATA",
+                       "MSK_CLOUDS_B00.gml")
+    os.rename(scl, scl + ".bak")
+    with open(gml) as fh:
+        orig = fh.read()
+    with open(gml, "w") as fh:
+        fh.write(GML_HOLE)
+    try:
+        mask = sl.load_cloud_mask(safe, "R20m")
+    finally:
+        os.rename(scl + ".bak", scl)
+        with open(gml, "w") as fh:
+            fh.write(orig)
+    expected = np.ones((6, 6), bool)
+    expected[2:4, 2:4] = False  # the 40x40 m hole = center 2x2 px
+    np.testing.assert_array_equal(mask, expected)
+
+
 def test_crop_by_shape(safe_tree):
     safe, data = safe_tree
     affine, _, _ = sl.tile_geoposition(safe, "R20m")
