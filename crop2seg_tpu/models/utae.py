@@ -96,8 +96,13 @@ class UTAE(nn.Module):
                 ConvBlock, DownConvBlock, UpConvBlock, ConvBlock)
         if self.remat:
             # static_argnums count ``self`` as 0; ``train`` is a Python bool.
+            # 'gn_stats' rides along with 'conv_out': the (N, groups) GN
+            # statistics are ~KB-scale, and storing them lets the backward
+            # recompute skip the stats re-reduction over each stored conv
+            # output (one full HBM read per norm unit; see TaggedGroupNorm).
             policy = (jax.checkpoint_policies.save_only_these_names(
-                "conv_out") if self.remat_policy == "conv_out" else None)
+                "conv_out", "gn_stats")
+                if self.remat_policy == "conv_out" else None)
             in_block = nn.remat(in_block, static_argnums=(2,), policy=policy)
             if self.remat_down:
                 down_block = nn.remat(down_block, static_argnums=(2,),

@@ -76,8 +76,10 @@ class WTAE(nn.Module):
             in_block, down_block, up_block, out_block = (
                 ConvBlock, DownConvBlock, UpConvBlock, ConvBlock)
         if self.remat:
+            # 'gn_stats' rides along with 'conv_out' (see models/utae.py).
             policy = (jax.checkpoint_policies.save_only_these_names(
-                "conv_out") if self.remat_policy == "conv_out" else None)
+                "conv_out", "gn_stats")
+                if self.remat_policy == "conv_out" else None)
             # only the temporally-shared stages (B*T frames) are worth
             # rematerializing; the post-collapse UNet blocks reuse
             # down_block, whose recompute is tiny at (B, H, W, C).

@@ -55,18 +55,21 @@ class _SharedKernelConv3x3(nn.Module):
 
     features: int
     use_bias: bool = True
+    feature_group_count: int = 1
     dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, padding,
                  pair_packed: bool = False) -> jax.Array:
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, x.shape[-1], self.features))
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1] // self.feature_group_count, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         if pair_packed:
+            assert self.feature_group_count == 1
             ka = jnp.pad(kernel, ((0, 0), (0, 1), (0, 0), (0, 0)))
             kb = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))
             k2 = jnp.concatenate([ka, kb], axis=-1)       # (3, 4, C, 2F)
@@ -77,8 +80,9 @@ class _SharedKernelConv3x3(nn.Module):
             return y if bias is None else y + jnp.concatenate([bias] * 2)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(x, kernel, (1, 1), padding,
-                                         dimension_numbers=dn)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), padding, dimension_numbers=dn,
+            feature_group_count=self.feature_group_count)
         return y if bias is None else y + bias
 
 
@@ -90,20 +94,23 @@ class _SharedKernelConv4x4(nn.Module):
 
     features: int
     use_bias: bool = True
+    feature_group_count: int = 1
     dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, padding, strides) -> jax.Array:
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (4, 4, x.shape[-1], self.features))
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (4, 4, x.shape[-1] // self.feature_group_count, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(x, kernel, strides, padding,
-                                         dimension_numbers=dn)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, strides, padding, dimension_numbers=dn,
+            feature_group_count=self.feature_group_count)
         return y if bias is None else y + bias
 
 
@@ -296,24 +303,31 @@ class Conv2d(nn.Module):
         # flagship in_conv block); the materialized pad sits at its copy
         # floor (~4.5 ms/GB-layer).
         implicit = p == 0 or self.padding_mode == "zeros"
+        # The decomposed paths cover grouped convs too (feature_group_count
+        # passed through): the materialized reflect pad costs a grouped
+        # depthwise conv 2-3.4x on v5e (k4/s2 @976x128^2x64: 25.5 -> 8.9 ms
+        # fwd, 70.9 -> 20.6 ms fwd+bwd measured; k3/s1 @64^2: 8.9 -> 4.5 /
+        # 23.7 -> 8.6) — the implicit-zero bulk runs at fused-chain
+        # bandwidth (~290 GB/s) while the padded-copy form sits at ~120.
         if (self.padding_mode == "reflect" and p == 1 and self.kernel_size == 3
-                and self.stride == 1 and self.feature_group_count == 1
-                and x.shape[1] >= 2 and x.shape[2] >= 2):
-            conv = _SharedKernelConv3x3(features=self.features,
-                                        use_bias=self.use_bias,
-                                        dtype=self.dtype, name="conv")
+                and self.stride == 1 and x.shape[1] >= 2 and x.shape[2] >= 2):
+            conv = _SharedKernelConv3x3(
+                features=self.features, use_bias=self.use_bias,
+                feature_group_count=self.feature_group_count,
+                dtype=self.dtype, name="conv")
             if pair_packed:
                 assert x.shape[2] % 2 == 0, x.shape
                 return _reflect_conv3x3_packed(conv, x)
             return _reflect_conv3x3(conv, x)
         assert not pair_packed, "pair_packed needs the k3/s1/p1 reflect form"
         if (self.padding_mode == "reflect" and p == 1 and self.kernel_size == 4
-                and self.stride == 2 and self.feature_group_count == 1
+                and self.stride == 2
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                 and x.shape[1] >= 4 and x.shape[2] >= 4):
-            conv = _SharedKernelConv4x4(features=self.features,
-                                        use_bias=self.use_bias,
-                                        dtype=self.dtype, name="conv")
+            conv = _SharedKernelConv4x4(
+                features=self.features, use_bias=self.use_bias,
+                feature_group_count=self.feature_group_count,
+                dtype=self.dtype, name="conv")
             return _reflect_conv4x4_s2(conv, x)
         conv = nn.Conv(
             features=self.features,
@@ -373,6 +387,57 @@ class ConvTranspose2d(nn.Module):
         return y
 
 
+class TaggedGroupNorm(nn.GroupNorm):
+    """``nn.GroupNorm`` with its (mean, var) statistics tagged as
+    ``'gn_stats'`` for ``jax.checkpoint_policies.save_only_these_names``.
+
+    Under the ``conv_out`` remat policy the conv outputs are stored but the
+    GN/ReLU tails are recomputed in backward — including the full stats
+    REDUCTION over each stored 0.5-2 GB conv output (one extra HBM read per
+    norm unit, pure bandwidth). The stats are (N, groups) fp32 — ~32 KB per
+    flagship level — so storing them is free and the backward recompute
+    skips straight to the normalize/ReLU apply. Identical math: the body is
+    flax's own ``GroupNorm.__call__`` flow with one identity tag inserted
+    between ``_compute_stats`` and ``_normalize``.
+    """
+
+    @nn.compact
+    def __call__(self, x, *, mask=None):
+        from flax.linen.normalization import (
+            _canonicalize_axes, _compute_stats, _normalize)
+
+        reduction_axes = (self.reduction_axes if self.reduction_axes
+                          is not None
+                          else list(range(1, x.ndim - 1)) + [-1])
+        feature_axis = -1
+        reduction_axes = _canonicalize_axes(x.ndim, reduction_axes)
+        channels = x.shape[-1]
+        num_groups = self.num_groups
+        if self.group_size is not None:
+            num_groups = channels // self.group_size
+        group_size = channels // num_groups
+        group_shape = x.shape[:-1] + (num_groups, group_size)
+        if mask is not None:
+            mask = mask.reshape(mask.shape[:-1] + (num_groups, group_size))
+        mean, var = _compute_stats(
+            x.reshape(group_shape),
+            list(reduction_axes[:-1]) + [-1],
+            self.dtype, self.axis_name, self.axis_index_groups,
+            use_fast_variance=self.use_fast_variance, mask=mask,
+            force_float32_reductions=self.force_float32_reductions,
+        )
+        mean = jax.ad_checkpoint.checkpoint_name(mean, "gn_stats")
+        var = jax.ad_checkpoint.checkpoint_name(var, "gn_stats")
+        mean = jnp.repeat(mean, group_size, axis=-1)
+        var = jnp.repeat(var, group_size, axis=-1)
+        return _normalize(
+            self, x, mean, var, reduction_axes[:-1], (feature_axis,),
+            self.dtype, self.param_dtype, self.epsilon, self.use_bias,
+            self.use_scale, self.bias_init, self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 def make_norm(norm: str, n_groups: int = 4, dtype=None) -> Callable[..., nn.Module] | None:
     """Normalization factory matching the reference choices
     (/root/reference/src/backbones/conv.py:52-62)."""
@@ -387,7 +452,7 @@ def make_norm(norm: str, n_groups: int = 4, dtype=None) -> Callable[..., nn.Modu
             use_bias=False, use_scale=False, dtype=dtype, name=name,
         )
     if norm == "group":
-        return lambda name=None: nn.GroupNorm(
+        return lambda name=None: TaggedGroupNorm(
             num_groups=n_groups, epsilon=1e-5, dtype=dtype, name=name
         )
     return None

@@ -186,3 +186,49 @@ def test_defer_tail_norm_matches_applied():
     got = np.maximum(np.asarray(z) * np.asarray(sc)[:, None, None, :]
                      + np.asarray(sh)[:, None, None, :], 0.0)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("k,s,hw", [(3, 1, (6, 8)), (3, 1, (2, 2)),
+                                    (4, 2, (8, 12)), (4, 2, (4, 4))])
+def test_grouped_depthwise_decomposed(k, s, hw):
+    """Depthwise (feature_group_count=C) convs route through the decomposed
+    reflect paths too (the materialized pad cost a grouped k4/s2 conv 2.9x
+    fwd / 3.4x bwd on v5e) — must equal pad+VALID grouped conv exactly."""
+    h, w = hw
+    c = 8
+    m = Conv2d(features=c, kernel_size=k, stride=s, padding=1,
+               padding_mode="reflect", use_bias=False, feature_group_count=c)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, h, w, c), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x)
+    got = m.apply(v, x)
+    kn = v["params"]["conv"]["kernel"]
+    assert kn.shape == (k, k, 1, c)  # checkpoint layout unchanged
+    xp = spatial_pad(x, 1, "reflect")
+    dn = jax.lax.conv_dimension_numbers(xp.shape, kn.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(xp, kn, (s, s), "VALID",
+                                        dimension_numbers=dn,
+                                        feature_group_count=c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_tagged_group_norm_matches_flax():
+    """TaggedGroupNorm (gn_stats checkpoint tag for the conv_out remat
+    policy) must be bit-identical to flax nn.GroupNorm."""
+    from flax import linen as nn
+
+    from crop2seg_tpu.nn.layers import TaggedGroupNorm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 8, 16), jnp.float32)
+    a = nn.GroupNorm(num_groups=4, epsilon=1e-5)
+    b = TaggedGroupNorm(num_groups=4, epsilon=1e-5)
+    va = a.init(jax.random.PRNGKey(1), x)
+    vb = b.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(va)
+            == jax.tree_util.tree_structure(vb))
+    assert bool((a.apply(va, x) == b.apply(va, x)).all())
+    xb = x.astype(jnp.bfloat16)
+    a16 = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=jnp.bfloat16)
+    b16 = TaggedGroupNorm(num_groups=4, epsilon=1e-5, dtype=jnp.bfloat16)
+    assert bool((a16.apply(va, xb) == b16.apply(va, xb)).all())
