@@ -30,6 +30,17 @@ from crop2seg_tpu.nn.ltae import MaskedLightweightAttention, _group_norm_over_ti
 from crop2seg_tpu.nn.positional import AbsolutePositionalEncoder, PositionalEncoder
 
 
+def _adaptive_pool_matrix(t_in: int, t_out: int = 45) -> np.ndarray:
+    """(t_in, t_out) averaging matrix with torch AdaptiveAvgPool1d window
+    semantics: output i averages input [floor(i*t/o), ceil((i+1)*t/o))."""
+    m = np.zeros((t_in, t_out), np.float32)
+    for i in range(t_out):
+        a = (i * t_in) // t_out
+        b = -(-((i + 1) * t_in) // t_out)
+        m[a:b, i] = 1.0 / (b - a)
+    return m
+
+
 class ClassicalMultiHeadAttention(nn.Module):
     """Full TxT self-attention (reference tae.py:638-711)."""
 
@@ -124,6 +135,34 @@ class TAE2d(nn.Module):
         d_model = self.d_model if self.d_model is not None else c
         x = jnp.transpose(x, (0, 2, 3, 1, 4))  # (B, H, W, T, C)
 
+        seq_len = t
+        use_cls = self.attention_type == "classical" and (
+            self.embedding_reduction == "cls"
+            or self.attention_mask_reduction == "cls")
+        if use_cls:
+            # Learned SPATIAL cls tokens — (nct, H, W, C_in), prepended to
+            # the raw sequence BEFORE in_norm/inconv with position -1 and
+            # never padded (reference tae.py:176-187, 225-241: the token is
+            # (nct, in_channels, cls_h, cls_w) and rides through the whole
+            # front end; its stats join the GroupNorm rows).
+            cls = self.param("cls_token", nn.initializers.normal(1.0),
+                             (self.num_cls_tokens, hh, ww, c), jnp.float32)
+            cls_b = jnp.broadcast_to(
+                jnp.transpose(cls, (1, 2, 0, 3))[None],
+                (b, hh, ww, self.num_cls_tokens, c))
+            x = jnp.concatenate([cls_b.astype(x.dtype), x], axis=3)
+            if pad_mask is not None:
+                pad_mask = jnp.concatenate(
+                    [jnp.zeros((b, self.num_cls_tokens), bool), pad_mask],
+                    axis=1)
+            if batch_positions is not None:
+                minus1 = -jnp.ones(
+                    (b, self.num_cls_tokens) + batch_positions.shape[2:],
+                    batch_positions.dtype)
+                batch_positions = jnp.concatenate(
+                    [minus1, batch_positions], axis=1)
+            seq_len = t + self.num_cls_tokens
+
         in_scale = self.param("in_norm_scale", nn.initializers.ones, (c,),
                               jnp.float32)
         in_bias = self.param("in_norm_bias", nn.initializers.zeros, (c,),
@@ -149,22 +188,6 @@ class TAE2d(nn.Module):
                 pe = pe_mod(bp)
             h = h + pe[:, None, None, :, :].astype(h.dtype)
 
-        seq_len = t
-        if self.attention_type == "classical" and (
-                self.embedding_reduction == "cls"
-                or self.attention_mask_reduction == "cls"):
-            # learned cls tokens prepended with position -1, never padded
-            # (reference tae.py:176-241)
-            cls = self.param("cls_token", nn.initializers.normal(1.0),
-                             (self.num_cls_tokens, d_model), jnp.float32)
-            cls_b = jnp.broadcast_to(cls, (b, hh, ww) + cls.shape)
-            h = jnp.concatenate([cls_b.astype(h.dtype), h], axis=3)
-            if pad_mask is not None:
-                pad_mask = jnp.concatenate(
-                    [jnp.zeros((b, self.num_cls_tokens), bool), pad_mask],
-                    axis=1)
-            seq_len = t + self.num_cls_tokens
-
         if self.attention_type == "lightweight":
             out, attn = MaskedLightweightAttention(
                 n_head=self.n_head, d_k=self.d_k,
@@ -179,26 +202,53 @@ class TAE2d(nn.Module):
                     n_head=self.n_head, d_hidden=self.d_k, dtype=self.dtype,
                     name=f"attention_{i}")(
                         out, pad_mask=pad_mask, train=train)
-            # reductions (reference tae.py:284-324)
+            # reductions (reference tae.py:284-327)
             nct = self.num_cls_tokens
             if self.embedding_reduction == "mean":
                 out = jnp.mean(out, axis=3)
             elif self.embedding_reduction == "cls":
-                out = jnp.mean(out[:, :, :, :nct, :], axis=3)
+                tokens = out[:, :, :, :nct, :]          # (B, H, W, nct, C)
+                if nct > 1:
+                    # learned 1x1 merge of the cls tokens (reference
+                    # cls_emb_conv, Conv1d(nct, 1, 1) — tae.py:187-189,311)
+                    out = nn.Dense(1, name="cls_emb_conv")(
+                        jnp.swapaxes(tokens, -1, -2))[..., 0]
+                else:
+                    out = tokens[..., 0, :]
             elif self.embedding_reduction == "linear":
-                pooled = jax.image.resize(
-                    out, out.shape[:3] + (45, out.shape[-1]), "linear")
-                out = nn.Dense(1, dtype=self.dtype, name="emb_reduce")(
+                # AdaptiveAvgPool1d(45) over time + Linear(45, 1) —
+                # reference linear_embedding_reduction (tae.py:173,284-287).
+                # Exact adaptive-pool windows (floor/ceil boundaries), NOT a
+                # linear resize.
+                pool = jnp.asarray(
+                    _adaptive_pool_matrix(out.shape[3]), out.dtype)
+                pooled = jnp.einsum("bhwtc,tp->bhwpc", out, pool)
+                out = nn.Dense(1, name="emb_reduce")(
                     jnp.swapaxes(pooled, -1, -2))[..., 0]
             if self.attention_mask_reduction == "mean":
                 attn = jnp.mean(attn, axis=-2)          # avg over queries
             elif self.attention_mask_reduction == "cls":
-                attn = jnp.mean(attn[..., :nct, :], axis=-2)
-            if self.embedding_reduction == "cls" or \
-                    self.attention_mask_reduction == "cls":
-                attn = attn[..., nct:] if attn.shape[-1] == seq_len else attn
-                if self.embedding_reduction is not None:
-                    pass
+                sel = attn[..., :nct, nct:]   # cls queries x real-time keys
+                if nct > 1:
+                    sel = nn.Dense(1, name="cls_attn_conv")(
+                        jnp.swapaxes(sel, -1, -2))[..., 0]
+                else:
+                    sel = sel[..., 0, :]
+                attn = sel
+            elif self.attention_mask_reduction == "linear":
+                # pool the QUERY axis to 45 + Linear(45, 1), keys kept —
+                # reference linear_attention_mask_reduction (tae.py:175,
+                # 303-307).
+                pool = jnp.asarray(
+                    _adaptive_pool_matrix(attn.shape[-2]), attn.dtype)
+                pooled = jnp.einsum("...qk,qp->...pk", attn, pool)
+                attn = nn.Dense(1, name="attn_reduce")(
+                    jnp.swapaxes(pooled, -1, -2))[..., 0]
+            if use_cls and self.attention_mask_reduction != "cls" \
+                    and attn.shape[-1] == seq_len:
+                # drop cls keys so attn covers the t real dates (the
+                # reference's final view assumes t and CRASHES otherwise)
+                attn = attn[..., nct:]
 
         # MLP + out GroupNorm (applied per remaining token)
         out = nn.Dense(self.mlp[1], dtype=self.dtype, name="mlp_dense")(out)

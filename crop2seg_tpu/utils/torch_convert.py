@@ -463,6 +463,20 @@ def convert_tae2d(sd, classical=True, n_stages=1, add_linear=False):
     pe = convert_positional_encoder(sd, "positional_encoder")
     if pe:
         params["positional_encoder"] = pe
+    if "cls_token" in sd:  # (nct, C, H, W) -> (nct, H, W, C)
+        params["cls_token"] = np.transpose(sd["cls_token"], (0, 2, 3, 1))
+    for tname, oname in (("cls_emb_conv", "cls_emb_conv"),
+                         ("cls_attn_conv", "cls_attn_conv")):
+        if f"{tname}.weight" in sd:  # Conv1d(nct, 1, 1) == Dense(nct -> 1)
+            params[oname] = {
+                "kernel": dense_kernel(sd[f"{tname}.weight"][:, :, 0]),
+                "bias": sd[f"{tname}.bias"]}
+    for tname, oname in (("linear_embedding_reduction", "emb_reduce"),
+                         ("linear_attention_mask_reduction", "attn_reduce")):
+        if f"{tname}.1.weight" in sd:  # Sequential(AdaptiveAvgPool1d, Linear)
+            params[oname] = {
+                "kernel": dense_kernel(sd[f"{tname}.1.weight"]),
+                "bias": sd[f"{tname}.1.bias"]}
     if classical:
         for i in range(n_stages):
             ap = f"attention_heads.{i}"

@@ -318,6 +318,34 @@ def extra_models():
     # tae.py:480-504; TAE2d does not) — no lightweight golden is possible.
     # Its math is covered by the LTAE golden (same attention module).
 
+    # cls / linear reductions (tae.py:284-327): cls REQUIRES a pad mask
+    # (the cls branch concatenates into it, tae.py:233-235) — an all-False
+    # mask is scramble-safe. cls_h/cls_w must equal the feature H/W.
+    pm0 = torch.zeros(B, T, dtype=torch.bool)
+    for nct in (1, 3):
+        torch.manual_seed(74 + nct)
+        m = TAE2d(attention_type="classical", embedding_reduction="cls",
+                  attention_mask_reduction="cls", stack_stages=True,
+                  num_cls_tokens=nct, cls_h=8, cls_w=8,
+                  in_channels=32, d_model=64, n_head=8, d_k=4, mlp=[64, 16],
+                  return_att=True).eval()
+        randomize_bn(m)
+        with torch.no_grad():
+            y, attn = m(xl, batch_positions=dates, pad_mask=pm0)
+        save(f"tae2d_classical_cls{nct}", x=xl.numpy(), dates=dates.numpy(),
+             y=y.numpy(), attn=attn.numpy(), sd=sd_np(m))
+
+    torch.manual_seed(78)
+    m = TAE2d(attention_type="classical", embedding_reduction="linear",
+              attention_mask_reduction="linear", stack_stages=True,
+              in_channels=32, d_model=64, n_head=8, d_k=4, mlp=[64, 16],
+              return_att=True).eval()
+    randomize_bn(m)
+    with torch.no_grad():
+        y, attn = m(xl, batch_positions=dates, pad_mask=pm0)
+    save("tae2d_classical_linear", x=xl.numpy(), dates=dates.numpy(),
+         y=y.numpy(), attn=attn.numpy(), sd=sd_np(m))
+
 
 
 
