@@ -24,12 +24,12 @@ class MLPMixerLayer(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = jnp.swapaxes(h, -1, -2)
         h = nn.Dense(self.token_mlp_dim, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU = exact erf
         h = nn.Dense(self.num_tokens, dtype=self.dtype)(h)
         x = x + jnp.swapaxes(h, -1, -2)
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(self.channel_mlp_dim, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype)(h)
         return x + h
 
@@ -44,8 +44,10 @@ class MLPMixer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # NOTE: no trailing norm — the reference is a bare Sequential of
+        # mixer layers (mlp_mixer.py:54-81).
         for i in range(self.num_layers):
             x = MLPMixerLayer(self.num_tokens, self.hidden_dim,
                               self.token_mlp_dim, self.channel_mlp_dim,
                               dtype=self.dtype, name=f"layer_{i}")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="out_norm")(x)
+        return x

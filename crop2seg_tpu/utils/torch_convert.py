@@ -528,6 +528,64 @@ def convert_timeunet_v2(sd, n_stages=3, **_):
     return {"params": params, "batch_stats": stats}
 
 
+def _convmodule_ex(sd, prefix):
+    """ConvModule_ex (bias-free conv + BN + act) at ``prefix``."""
+    p, st = _norm(sd, f"{prefix}.norm", "batch")
+    return ({"conv": {"kernel": conv2d_kernel(sd[f"{prefix}.conv.weight"])},
+             "norm": p}, {"norm": st})
+
+
+def convert_unet_ex(sd, num_stages=3, enc_num_convs=(2, 2, 2),
+                    dec_num_convs=(2, 2)):
+    """UNet_ex state dict -> flax variables (reference unet.py:553-690).
+    Encoder stage i>0 is Sequential(MaxPool, Block) — the block sits at
+    torch index 1; decoder j upsamples via InterpConv_ex whose 1x1
+    ConvModule is ``interp_upsample.1`` (Upsample at index 0)."""
+    params, stats = {}, {}
+    for i in range(num_stages):
+        base = f"encoder.{i}.{1 if i > 0 else 0}.convs"
+        ep, es = {}, {}
+        for j in range(enc_num_convs[i]):
+            p, st = _convmodule_ex(sd, f"{base}.{j}")
+            ep[f"conv{j}"], es[f"conv{j}"] = p, st
+        params[f"encoder_{i}"], stats[f"encoder_{i}"] = ep, es
+    for j in range(num_stages - 1):
+        dp, ds = {}, {}
+        p, st = _convmodule_ex(sd, f"decoder.{j}.upsample.interp_upsample.1")
+        dp["upsample"], ds["upsample"] = {"conv": p}, {"conv": st}
+        cb, cbs = {}, {}
+        for k in range(dec_num_convs[j]):
+            p, st = _convmodule_ex(sd, f"decoder.{j}.conv_block.convs.{k}")
+            cb[f"conv{k}"], cbs[f"conv{k}"] = p, st
+        dp["conv_block"], ds["conv_block"] = cb, cbs
+        params[f"decoder_{j}"], stats[f"decoder_{j}"] = dp, ds
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_mlp_mixer(sd, num_layers):
+    """MLPMixer state dict -> flax variables (reference mlp_mixer.py:9-81).
+    Per layer: norm1/norm2 LayerNorms, token_mixer Linears at Sequential
+    indices 0 and 3, channel_mixer likewise."""
+    params = {}
+    for i in range(num_layers):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "LayerNorm_0": {"scale": sd[f"{p}.norm1.weight"],
+                            "bias": sd[f"{p}.norm1.bias"]},
+            "Dense_0": {"kernel": dense_kernel(sd[f"{p}.token_mixer.0.weight"]),
+                        "bias": sd[f"{p}.token_mixer.0.bias"]},
+            "Dense_1": {"kernel": dense_kernel(sd[f"{p}.token_mixer.3.weight"]),
+                        "bias": sd[f"{p}.token_mixer.3.bias"]},
+            "LayerNorm_1": {"scale": sd[f"{p}.norm2.weight"],
+                            "bias": sd[f"{p}.norm2.bias"]},
+            "Dense_2": {"kernel": dense_kernel(sd[f"{p}.channel_mixer.0.weight"]),
+                        "bias": sd[f"{p}.channel_mixer.0.bias"]},
+            "Dense_3": {"kernel": dense_kernel(sd[f"{p}.channel_mixer.3.weight"]),
+                        "bias": sd[f"{p}.channel_mixer.3.bias"]},
+        }
+    return {"params": params}
+
+
 def convert_unet_naive(sd, n_stages=4):
     """Unet_naive state dict -> flax variables (reference unet.py:172-349).
     Same module inventory as UTAE minus the temporal encoder; all norms are

@@ -230,7 +230,18 @@ def _stub_timm():
         return
     layers = types.ModuleType("timm.models.layers")
     layers.trunc_normal_ = torch.nn.init.trunc_normal_
-    layers.get_act_layer = lambda name=None: torch.nn.ReLU
+    layers.get_act_layer = lambda name=None: {
+        "gelu": torch.nn.GELU}.get(name, torch.nn.ReLU)
+
+    class _DropPath(torch.nn.Module):  # identity in eval / drop_prob=0
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    layers.DropPath = _DropPath
     models = types.ModuleType("timm.models")
     models.layers = layers
     timm = types.ModuleType("timm")
@@ -335,6 +346,17 @@ def extra_models():
         save(f"tae2d_classical_cls{nct}", x=xl.numpy(), dates=dates.numpy(),
              y=y.numpy(), attn=attn.numpy(), sd=sd_np(m))
 
+    # MLPMixer (reference mlp_mixer.py:9-81; experimental, not in the
+    # factory). DropPath/Dropout are identity in eval; GELU is exact erf.
+    from src.backbones.mlp_mixer import MLPMixer
+
+    torch.manual_seed(79)
+    m = MLPMixer(num_tokens=6, embed_dims=32, depth=2).eval()
+    xm = torch.randn(64, 6, 32, generator=torch.Generator().manual_seed(80))
+    with torch.no_grad():
+        y = m(xm)
+    save("mlp_mixer", x=xm.numpy(), y=y.numpy(), sd=sd_np(m))
+
     torch.manual_seed(78)
     m = TAE2d(attention_type="classical", embedding_reduction="linear",
               attention_mask_reduction="linear", stack_stages=True,
@@ -425,6 +447,27 @@ def unet_plain():
     with torch.no_grad():
         y = m(x)
     save("unet_plain", x=x.numpy(), y=y.numpy(), sd=sd_np(m))
+
+    # UNet_ex (Exchanger backbone, unet.py:553-690): reference defaults —
+    # stride-1 encoders with MaxPool stage entries, GELU (the timm stub
+    # maps 'gelu' to torch.nn.GELU), bilinear InterpConv decoder; forward
+    # returns dec_outs (bottleneck first, full-res last).
+    from src.backbones.unet import UNet_ex
+
+    torch.manual_seed(77)
+    m = UNet_ex(in_channels=10, base_channels=8, num_stages=3,
+                strides=[1, 1, 1], enc_num_convs=[2, 2, 2],
+                dec_num_convs=[2, 2], downsamples=[True, True],
+                enc_dilations=[1, 1, 1], dec_dilations=[1, 1]).eval()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    x = torch.randn(2, 10, 32, 32, generator=torch.Generator().manual_seed(78))
+    with torch.no_grad():
+        outs = m(x)
+    save("unet_ex", x=x.numpy(), y=outs[-1].numpy(),
+         y_bottleneck=outs[0].numpy(), sd=sd_np(m))
 
 
 GROUPS["unet_plain"] = unet_plain

@@ -110,7 +110,10 @@ def test_temporal_aggregator3d():
 
 
 def test_unet_ex():
-    m = UNetEx(base_channels=8, num_stages=3, num_classes=5)
+    m = UNetEx(base_channels=8, num_stages=3, strides=(1, 1, 1),
+               enc_num_convs=(2, 2, 2), dec_num_convs=(2, 2),
+               downsamples=(True, True), enc_dilations=(1, 1, 1),
+               dec_dilations=(1, 1), num_classes=5)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 10))
     v = m.init(jax.random.PRNGKey(1), x, train=False)
     out = m.apply(v, x, train=False)
