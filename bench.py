@@ -17,7 +17,7 @@ relay uplink probe, the full 100-patch (2 GB) disk->map cell.
 
 Budget contract (round-2 lesson: BENCH_r02 hit the driver timeout and the
 JSON line was never printed): a global deadline (C2S_BENCH_BUDGET seconds,
-default 450) gates every section; sections are skipped when the remaining
+default 640) gates every section; sections are skipped when the remaining
 time is below their estimated cost, and SIGTERM/SIGALRM handlers emit the
 JSON with whatever has been measured so far. Exactly one JSON line is
 printed in every outcome.
