@@ -277,7 +277,9 @@ def rasterize_polygons(features: Sequence[Dict], shape: Tuple[int, int],
 
 def prediction_to_points(prediction: np.ndarray,
                          affine: Optional[Affine] = None,
-                         stride: int = 1) -> Dict[str, np.ndarray]:
+                         stride: int = 1,
+                         proba: Optional[np.ndarray] = None
+                         ) -> Dict[str, np.ndarray]:
     """Per-pixel point layer of a prediction — the point-vector counterpart
     of ``segments_to_polygons`` (reference ``prediction2point_layer``,
     /root/reference/src/helpers/postprocess.py:123-172).
@@ -292,10 +294,16 @@ def prediction_to_points(prediction: np.ndarray,
     GeoDataFrame row per pixel, postprocess.py:160-168):
     {'x', 'y', 'value'} plus 'proba' (N, K) when probabilities were given.
     ``stride`` subsamples the grid (stride=1 = every pixel).
+
+    ``proba``: optional (H, W, K) probability stack gathered alongside a 2-D
+    class map on the SAME sample grid (so callers with a separate class band
+    — e.g. ``raster_to_points`` — never re-derive the stride grid and risk
+    misaligning proba rows with x/y).
     """
     pred = np.asarray(prediction)
-    proba = None
     if pred.ndim == 3:
+        if proba is not None:
+            raise ValueError("pass either a 3-D prediction or proba=, not both")
         proba = pred
         pred = np.argmax(pred, axis=-1)
     elif pred.ndim != 2:
@@ -310,7 +318,7 @@ def prediction_to_points(prediction: np.ndarray,
     out = {"x": np.asarray(xs, np.float64), "y": np.asarray(ys, np.float64),
            "value": pred[rows, cols].astype(np.int64)}
     if proba is not None:
-        out["proba"] = proba[rows, cols]
+        out["proba"] = np.asarray(proba)[rows, cols]
     return out
 
 
@@ -327,11 +335,10 @@ def raster_to_points(path: str, stride: int = 1) -> Dict[str, np.ndarray]:
     # probability bands: the class band may have been postprocessed (e.g.
     # homogenized via gis.postprocess) before save_prediction_raster, and
     # re-deriving it would silently disagree with the raster.
-    pts = prediction_to_points(data[0].astype(np.int64), affine, stride)
-    if data.shape[0] > 1:  # bands 1..K = probabilities
-        rows, cols = np.mgrid[0:data.shape[1]:stride, 0:data.shape[2]:stride]
-        pts["proba"] = np.moveaxis(data[1:], 0, -1)[rows.ravel(), cols.ravel()]
-    return pts
+    # bands 1..K = probabilities, gathered on the same stride grid as x/y
+    proba = np.moveaxis(data[1:], 0, -1) if data.shape[0] > 1 else None
+    return prediction_to_points(data[0].astype(np.int64), affine, stride,
+                                proba=proba)
 
 
 def write_point_shapefile(path: str, points: Dict[str, np.ndarray]

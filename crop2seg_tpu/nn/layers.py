@@ -403,6 +403,10 @@ class TaggedGroupNorm(nn.GroupNorm):
 
     @nn.compact
     def __call__(self, x, *, mask=None):
+        # Private flax internals, written against flax 0.12's normalization
+        # module; a flax upgrade that changes them is caught by the
+        # bit-identity regression test (tests/test_reflect_conv.py asserts
+        # TaggedGroupNorm == nn.GroupNorm to the last bit).
         from flax.linen.normalization import (
             _canonicalize_axes, _compute_stats, _normalize)
 

@@ -211,7 +211,8 @@ class TAE2d(nn.Module):
                 if nct > 1:
                     # learned 1x1 merge of the cls tokens (reference
                     # cls_emb_conv, Conv1d(nct, 1, 1) — tae.py:187-189,311)
-                    out = nn.Dense(1, name="cls_emb_conv")(
+                    out = nn.Dense(1, dtype=self.dtype,
+                                   name="cls_emb_conv")(
                         jnp.swapaxes(tokens, -1, -2))[..., 0]
                 else:
                     out = tokens[..., 0, :]
@@ -223,14 +224,15 @@ class TAE2d(nn.Module):
                 pool = jnp.asarray(
                     _adaptive_pool_matrix(out.shape[3]), out.dtype)
                 pooled = jnp.einsum("bhwtc,tp->bhwpc", out, pool)
-                out = nn.Dense(1, name="emb_reduce")(
+                out = nn.Dense(1, dtype=self.dtype, name="emb_reduce")(
                     jnp.swapaxes(pooled, -1, -2))[..., 0]
             if self.attention_mask_reduction == "mean":
                 attn = jnp.mean(attn, axis=-2)          # avg over queries
             elif self.attention_mask_reduction == "cls":
                 sel = attn[..., :nct, nct:]   # cls queries x real-time keys
                 if nct > 1:
-                    sel = nn.Dense(1, name="cls_attn_conv")(
+                    sel = nn.Dense(1, dtype=self.dtype,
+                                   name="cls_attn_conv")(
                         jnp.swapaxes(sel, -1, -2))[..., 0]
                 else:
                     sel = sel[..., 0, :]
@@ -242,7 +244,7 @@ class TAE2d(nn.Module):
                 pool = jnp.asarray(
                     _adaptive_pool_matrix(attn.shape[-2]), attn.dtype)
                 pooled = jnp.einsum("...qk,qp->...pk", attn, pool)
-                attn = nn.Dense(1, name="attn_reduce")(
+                attn = nn.Dense(1, dtype=self.dtype, name="attn_reduce")(
                     jnp.swapaxes(pooled, -1, -2))[..., 0]
             if use_cls and self.attention_mask_reduction != "cls" \
                     and attn.shape[-1] == seq_len:
