@@ -100,3 +100,33 @@ def test_prefetch_loader(ds_folder):
     direct = [b["ids"].tolist() for b in base]
     fetched = [b["ids"].tolist() for b in pre]
     assert fetched == direct and len(pre) == len(base)
+
+
+def test_device_cache_loader(ds_folder):
+    import jax.numpy as jnp
+    from crop2seg_tpu.data.batcher import DeviceCacheLoader
+    ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train")
+    base = BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+    dev = DeviceCacheLoader(base, cast=jnp.bfloat16, shuffle=True, seed=3)
+
+    epoch1 = list(dev)
+    direct = list(base)
+    assert len(epoch1) == len(direct) == len(dev)
+    # epoch 1 streams the wrapped loader's batches, cast + on device
+    for got, want in zip(epoch1, direct):
+        assert set(got) == {"x", "dates", "pad_mask", "y"}  # ids/etc dropped
+        assert got["x"].dtype == jnp.bfloat16
+        assert got["y"].dtype == want["y"].dtype
+        np.testing.assert_allclose(np.asarray(got["x"], np.float32),
+                                   want["x"], rtol=0.01, atol=0.05)
+        np.testing.assert_array_equal(np.asarray(got["y"]), want["y"])
+
+    # epoch 2 replays the SAME device buffers (no re-upload), order shuffled
+    epoch2 = list(dev)
+    assert len(epoch2) == len(epoch1)
+    id1 = sorted(id(b["x"]) for b in epoch1)
+    id2 = sorted(id(b["x"]) for b in epoch2)
+    assert id1 == id2
+    # a further epoch reshuffles independently but keeps the same buffers
+    epoch3 = list(dev)
+    assert sorted(id(b["x"]) for b in epoch3) == id1

@@ -159,6 +159,30 @@ def test_reference_torch_checkpoint_import(workspace, tmp_path):
     assert cfg.model == "timeunet" and cfg.d_model == 32
 
 
+def test_device_cache_cli(workspace, tmp_path):
+    """--device_cache (dataset-in-HBM replay) must consume exactly the
+    uncached epoch-1 batches (same seed, same order -> identical epoch-1
+    metrics) and keep training from the resident buffers afterwards."""
+    data = str(workspace / "data")
+    common = ["--dataset", "s2tsczcrops", "--dataset_folder", data,
+              "--encoder_widths", "[8,8,16]", "--decoder_widths", "[4,8,16]",
+              "--out_conv", "[8,15]", "--n_head", "4", "--d_model", "32",
+              "--batch_size", "4", "--t_buckets", "[61]", "--epochs", "2"]
+    plain = str(tmp_path / "plain")
+    cached = str(tmp_path / "cached")
+    m1, _ = _run(common + ["--res_dir", plain])
+    m2, _ = _run(common + ["--res_dir", cached, "--device_cache"])
+    assert np.isfinite(m2["test_loss"])
+    log1 = json.load(open(os.path.join(plain, "Fold_1", "trainlog.json")))
+    log2 = json.load(open(os.path.join(cached, "Fold_1", "trainlog.json")))
+    # epoch 1 streams through the same loader stack -> identical batches
+    np.testing.assert_allclose(log2["1"]["train_loss"],
+                               log1["1"]["train_loss"], rtol=1e-6)
+    # epoch 2 replays the device cache (fixed composition, reshuffled order)
+    assert np.isfinite(log2["2"]["train_loss"])
+    assert np.isfinite(log2["2"]["val_IoU"])
+
+
 def test_finetune_and_resume_cli(workspace, tmp_path):
     """--finetune loads shape-compatible pretrained weights under a NEW
     config (different head) with a fresh optimizer; --weight_folder without

@@ -139,6 +139,14 @@ parser.add_argument("--use_weighted_sampling", action="store_true",
                     help="weighted random sampling with replacement from the "
                          "metadata 'weight' column (the reference builds this "
                          "sampler at train.py:340-344)")
+parser.add_argument("--device_cache", action="store_true",
+                    help="keep the train/val sets resident in device HBM "
+                         "after epoch 1 and replay batches from there "
+                         "(single-device runs, dataset must fit in HBM; "
+                         "batch composition freezes after epoch 1, order "
+                         "still reshuffles — see data.DeviceCacheLoader). "
+                         "Removes the per-epoch host->device transfer, "
+                         "which dominates when the host link is slow")
 
 LIST_ARGS = ("encoder_widths", "decoder_widths", "out_conv", "t_buckets")
 
@@ -284,6 +292,12 @@ def main(config):
     from crop2seg_tpu.learning import checkpoint as ckpt
     from crop2seg_tpu.models.factory import get_model
 
+    # Persistent compilation cache (verified to work through the axon TPU
+    # relay): a resumed/repeated run skips the 30-60 s per-graph compiles.
+    cache_dir = os.environ.get("C2S_JAX_CACHE", "/tmp/c2s_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+
     if config.platform:
         jax.config.update("jax_default_device",
                           jax.devices(config.platform)[0])
@@ -323,7 +337,7 @@ def main(config):
     sample_weights = None
     if config.use_weighted_sampling and "weight" in dt_train.meta_patch:
         sample_weights = dt_train.meta_patch["weight"].fillna(1.0).values
-    from crop2seg_tpu.data import PrefetchLoader
+    from crop2seg_tpu.data import DeviceCacheLoader, PrefetchLoader
     train_loader = PrefetchLoader(BatchLoader(
         dt_train, config.batch_size, shuffle=True, drop_last=True,
         seed=config.rdm_seed, sample_weights=sample_weights, **loader_kw))
@@ -331,6 +345,17 @@ def main(config):
                              drop_last=False, **loader_kw)
     test_loader = BatchLoader(dt_test, config.batch_size, shuffle=False,
                               drop_last=False, **loader_kw)
+    if config.device_cache and (config.num_devices or 1) == 1:
+        if config.augment:
+            logging.warning("--device_cache freezes augmentation at its "
+                            "epoch-1 draw; leave it off for augmented runs")
+        cast = jnp.bfloat16 if config.bf16 else None
+        train_loader = DeviceCacheLoader(train_loader, cast=cast,
+                                         shuffle=True, seed=config.rdm_seed)
+        val_loader = DeviceCacheLoader(val_loader, cast=cast, shuffle=False)
+    elif config.device_cache:
+        logging.warning("--device_cache is single-device only; ignoring it "
+                        "for the %d-device mesh run", config.num_devices)
 
     if config.bf16:
         config_dtype = jnp.bfloat16
