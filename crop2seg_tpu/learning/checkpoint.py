@@ -104,6 +104,26 @@ def save_state(fold_dir: str, state, epoch: int, best_miou: float) -> None:
     ckptr.save(path, _payload(state, epoch, best_miou), force=True)
 
 
+def save_converted(fold_dir: str, variables: Dict[str, Any], epoch: int = 0,
+                   best_miou: float = 0.0) -> str:
+    """Persist imported (e.g. torch-converted) variables as a ``model.ckpt``
+    that :func:`load_state` / train.py --test / the webapp loader accept.
+    Carries no optimizer state — a plain resume from such a folder restarts
+    Adam fresh (the reference does the same for its torch releases,
+    train.py:459-460 commented out)."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(fold_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(fold_dir, "model.ckpt"))
+    payload = {
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables.get("batch_stats", {})) or {},
+        "meta": {"epoch": int(epoch), "best_mIoU": float(best_miou)},
+    }
+    ocp.PyTreeCheckpointer().save(path, payload, force=True)
+    return path
+
+
 def _resolve_state_path(fold_dir: str) -> Optional[str]:
     """``model.ckpt`` (dir or symlink) wins; fall back to the best entry of
     ``best_ckpt.json`` written by StateCheckpointer on symlink-less FSes."""

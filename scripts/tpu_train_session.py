@@ -88,7 +88,12 @@ def main():
     trainlog_path = os.path.join(RES, "Fold_1", "trainlog.json")
     index_path = os.path.join(RES, "Fold_1", "best_ckpt.json")
     if os.path.exists(RES):
-        shutil.rmtree(RES)
+        # keep an already-generated synthetic dataset (deterministic seed);
+        # clear every run artifact so the session starts clean
+        for entry in os.listdir(RES):
+            if entry != "synthetic_data":
+                p = os.path.join(RES, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     # ---- phase 1: train until the kill point, then SIGKILL mid-run -----
     log(f"phase 1: launching train.py (flagship TimeUNet, B={BATCH} bf16, "

@@ -366,11 +366,16 @@ def main(config):
     model_cfg["use_pallas"] = resolve_use_pallas(config)
     model = get_model(model_cfg)
 
-    # init from a sample batch
+    # init from a B=1 slice of a sample batch, under jit: params are
+    # batch-independent, an UNJITTED init dispatches the whole forward as
+    # eager ops (minutes through a TPU relay; observed 357 s vs 18 s jitted)
+    # and the eager/monolithic path would materialize TimeUNet's full-res
+    # L-TAE embed at full batch (OOM at B=16). Same treatment as bench.py.
     sample = to_device_batch(next(iter(val_loader if is_test_run else train_loader)))
     rng, init_rng, winit_rng = jax.random.split(rng, 3)
-    variables = model.init(init_rng, sample["x"], sample["dates"],
-                           pad_mask=sample["pad_mask"], train=False)
+    variables = jax.jit(
+        lambda k, x, d, m: model.init(k, x, d, pad_mask=m, train=False)
+    )(init_rng, sample["x"][:1], sample["dates"][:1], sample["pad_mask"][:1])
 
     start_epoch, best_miou, trainlog = 1, 0.0, {}
     resume_opt_dir = None
@@ -446,9 +451,14 @@ def main(config):
         # The reference drops optimizer state on resume (train.py:459-460
         # commented out) — a resume there silently restarts the moments; we
         # restore them with a structured template so Adam continues exactly.
-        payload = ckpt.load_state(resume_opt_dir, state=state)
-        state = state.replace(opt_state=payload["opt_state"])
-        logging.info("restored optimizer state (Adam moments + step count)")
+        try:
+            payload = ckpt.load_state(resume_opt_dir, state=state)
+            state = state.replace(opt_state=payload["opt_state"])
+            logging.info("restored optimizer state (Adam moments + step count)")
+        except Exception as err:  # e.g. a converted torch release: no moments
+            logging.warning("checkpoint carries no restorable optimizer "
+                            "state (converted torch release?); Adam starts "
+                            "fresh like the reference resume: %s", err)
 
     # Data-parallel mesh (SURVEY.md §2.7 item 1; replaces the reference's
     # single-device loop at /root/reference/train.py:447,480-544).
