@@ -159,6 +159,66 @@ def test_reference_torch_checkpoint_import(workspace, tmp_path):
     assert cfg.model == "timeunet" and cfg.d_model == 32
 
 
+def test_convert_checkpoint_cli(workspace, tmp_path):
+    """scripts/convert_checkpoint.py: reference release (model.pth.tar +
+    conf.json + inference-format NORM_S2_patch.json) -> ready weight folder;
+    `train.py --test --weight_folder <converted>` must run (VERDICT r4
+    missing #1; reference contract prediction.py:214-250)."""
+    import importlib.util
+    import sys
+
+    import torch
+    sys.path.insert(0, "/root/reference")
+    from src.backbones.timeunet import TimeUNet_v1
+
+    torch.manual_seed(11)
+    ref = TimeUNet_v1(input_dim=10, encoder_widths=[8, 8, 16],
+                      decoder_widths=[4, 8, 16], out_conv=[8, 15],
+                      n_head=4, d_model=32, d_k=4, pad_value=0).eval()
+    release = tmp_path / "release"
+    release.mkdir()
+    torch.save({"state_dict": ref.state_dict(), "epoch": 17,
+                "best_mIoU": 0.61, "optimizer": {}},
+               release / "model.pth.tar")
+    conf = {"model": "timeunet_v1", "input_dim": 10,
+            "encoder_widths": [8, 8, 16], "decoder_widths": [4, 8, 16],
+            "out_conv": [8, 15], "n_head": 4, "d_model": 32, "d_k": 4,
+            "num_classes": 15, "ignore_index": -1}
+    json.dump(conf, open(release / "conf.json", "w"))
+    # inference-format NORM blob (prediction.py:232-250): the converter must
+    # flatten it and apply the PASTIS channel reorder
+    norm_src = {"train": {"mean": [float(i) for i in range(10)],
+                          "std": [1.0 + i for i in range(10)]}}
+    json.dump(norm_src, open(release / "NORM_S2_patch.json", "w"))
+
+    spec = importlib.util.spec_from_file_location(
+        "c2s_convert", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "convert_checkpoint.py"))
+    conv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+    out = str(tmp_path / "weights")
+    conv.main(["--checkpoint", str(release / "model.pth.tar"),
+               "--conf", str(release / "conf.json"),
+               "--norm", str(release / "NORM_S2_patch.json"),
+               "--out", out])
+
+    assert os.path.exists(os.path.join(out, "Fold_1", "model.ckpt"))
+    norm = json.load(open(os.path.join(out, "NORM_S2_patch.json")))
+    assert norm["mean"] == [2.0, 1.0, 0.0, 4.0, 5.0, 6.0, 3.0, 7.0, 8.0, 9.0]
+    from crop2seg_tpu.learning import checkpoint as ckpt
+    payload = ckpt.load_state(os.path.join(out, "Fold_1"))
+    assert payload["meta"] == {"epoch": 17, "best_mIoU": 0.61}
+
+    # the converted folder is a working --weight_folder for the test path
+    data = str(workspace / "data")
+    metrics, cfg = _run(["--test", "--weight_folder", out,
+                         "--dataset", "s2tsczcrops", "--dataset_folder", data,
+                         "--batch_size", "4", "--t_buckets", "[61]",
+                         "--res_dir", str(tmp_path / "testrun")])
+    assert np.isfinite(metrics["test_loss"])
+    assert cfg.model == "timeunet_v1" and cfg.d_model == 32
+
+
 def test_device_cache_cli(workspace, tmp_path):
     """--device_cache (dataset-in-HBM replay) must consume exactly the
     uncached epoch-1 batches (same seed, same order -> identical epoch-1
