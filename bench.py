@@ -88,6 +88,18 @@ def time_left() -> float:
     return BUDGET - (time.perf_counter() - T_START)
 
 
+def dev_normal(key, shape, dtype=jnp.bfloat16):
+    """Generate random device arrays UNDER JIT. An eager jax.random.normal
+    through the axon relay materializes like a host upload: the 2.4 GB tile
+    patch stack measured 172.9 s eager vs 4.7 s jitted (ROADMAP r5). This
+    was the entire 53-220 s tile warmup mystery (VERDICT r4 weak #2)."""
+    return jax.jit(lambda k: jax.random.normal(k, shape, dtype))(key)
+
+
+def dev_randint(key, shape, lo, hi):
+    return jax.jit(lambda k: jax.random.randint(k, shape, lo, hi))(key)
+
+
 def emit(rc: int = 0) -> None:
     """Print the single JSON line with whatever has been measured."""
     global _EMITTED
@@ -171,8 +183,7 @@ def _inputs(model, b=B):
     dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
                      (b, 1))
     pad_mask = pad_mask_from_lengths(jnp.full((b,), T), T)
-    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, T, H, W, C),
-                           jnp.bfloat16)
+    x0 = dev_normal(jax.random.PRNGKey(0), (1, T, H, W, C))
     # jit + B=1: an unjitted init dispatches the whole forward as eager ops
     # (minutes on the relay on a bad day — ate the entire round-3 validation
     # budget); params are batch-independent so a compiled B=1 init is
@@ -212,8 +223,7 @@ def _best_round(run, work_per_round, rounds=ROUNDS, warmup=WARMUP,
 
 def bench_forward(model, variables, dates, pad_mask, rounds=ROUNDS,
                   warmup=WARMUP):
-    xs = jax.random.normal(jax.random.PRNGKey(2),
-                           (N_CHUNKS, B, T, H, W, C), jnp.bfloat16)
+    xs = dev_normal(jax.random.PRNGKey(2), (N_CHUNKS, B, T, H, W, C))
 
     @jax.jit
     def fwd_many(v, xs):
@@ -242,8 +252,7 @@ def bench_whole_tile(model, variables, dates, pad_mask, rounds=ROUNDS,
     # a second 2 GB copy of the patch stack next to the model transients)
     pad_n = (-100) % TILE_B
     n_tot = 100 + pad_n
-    patches = jax.random.normal(jax.random.PRNGKey(3),
-                                (n_tot, T, H, W, C), jnp.bfloat16)
+    patches = dev_normal(jax.random.PRNGKey(3), (n_tot, T, H, W, C))
     tdates = dates[:TILE_B]
     tmask = pad_mask[:TILE_B]
 
@@ -420,10 +429,8 @@ def bench_train_step(model, train_b=TRAIN_B):
     dates = jnp.tile((jnp.arange(T, dtype=jnp.float32) * 5 + 3)[None, :],
                      (train_b, 1))
     pad_mask = pad_mask_from_lengths(jnp.full((train_b,), T), T)
-    x = jax.random.normal(jax.random.PRNGKey(4), (train_b, T, H, W, C),
-                          jnp.bfloat16)
-    y = jax.random.randint(jax.random.PRNGKey(5), (train_b, H, W), 0,
-                           K_CLASSES)
+    x = dev_normal(jax.random.PRNGKey(4), (train_b, T, H, W, C))
+    y = dev_randint(jax.random.PRNGKey(5), (train_b, H, W), 0, K_CLASSES)
     batch = {"x": x, "dates": dates, "pad_mask": pad_mask, "y": y}
     # jit + B=1 slice: params are batch-independent, the eager init path
     # (is_initializing takes the monolithic XLA branch) would materialize
@@ -503,8 +510,7 @@ def main():
         wmodel = WTAE(input_dim=C, out_conv=(32, K_CLASSES),
                       dtype=jnp.bfloat16)
         wvars, wdates, wmask = _inputs(wmodel)
-        xs = jax.random.normal(jax.random.PRNGKey(2),
-                               (N_CHUNKS, B, T, H, W, C), jnp.bfloat16)
+        xs = dev_normal(jax.random.PRNGKey(2), (N_CHUNKS, B, T, H, W, C))
 
         @jax.jit
         def fwd_many(v, xs):
