@@ -590,7 +590,11 @@ def main():
     section("timeunet_train", 75, do_tu_train)
     section("utae_train", 80, do_utae_train)
     section("disk_map_warm", 45, do_disk_map_warm)
-    section("wtae", 110, do_wtae)
+    # est 90: cache-warm wtae fwd+train cost ~65 s (r5 val1); a bad-helper
+    # night that ate the tile warmup shouldn't also cost the artifact its
+    # WTAE numbers — per-round RESULTS updates make a mid-section
+    # SIGTERM/alarm emit whatever was measured.
+    section("wtae", 90, do_wtae)
     section("uplink", 20, do_uplink)
     section("revisit", 40, do_revisit)
     section("disk_map_full", 130, do_disk_map_full)

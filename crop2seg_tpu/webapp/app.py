@@ -21,6 +21,8 @@ import numpy as np
 from crop2seg_tpu.config import DEFAULT_TILES
 from crop2seg_tpu.data.s2tsczcrop import LABELS
 from crop2seg_tpu.utils.visualize import plot_crop_map
+from crop2seg_tpu.webapp.map_picker import (
+    cz_grid_map_html, parse_selection, pick_patch)
 from crop2seg_tpu.webapp.pipeline import (
     CacheManager, cell_grid_figure, generate_prediction, get_info,
     get_time_series)
@@ -36,14 +38,45 @@ def main():
 
     if page == "Home":
         st.title("Predict crops (TPU)")
-        tile = st.selectbox("Sentinel-2 tile", DEFAULT_TILES)
-        # Interactive cell picker: the reference renders the tile's 10x10
-        # sub-grid on a leafmap map and spatial-joins the click to a cell
-        # (home.py:13-77, get_data.py:33-69). Here the same grid is a
-        # clickable 10x10 button matrix next to a georeferenced map view
-        # (pipeline.cell_grid_figure) — no mapping stack required.
+        # Interactive cell picker: the reference renders the CZ Sentinel-2
+        # grid on a leafmap map and spatial-joins the click to a cell
+        # (home.py:13-77, get_data.py:33-69). Here the same join runs in
+        # closed form (map_picker.pick_patch) from typed WGS84 coordinates,
+        # the whole CZ grid renders as a self-contained interactive SVG map
+        # (pan/zoom/click, no mapping stack), and a clickable 10x10 button
+        # matrix + georeferenced view cover the per-tile flow.
         if "cell" not in st.session_state:
             st.session_state["cell"] = 0
+        with st.expander("Locate by coordinates (WGS84)"):
+            c1, c2, c3 = st.columns([1, 1, 1])
+            lat = c1.number_input("Latitude", 47.0, 52.0, 49.78,
+                                  format="%.4f")
+            lon = c2.number_input("Longitude", 11.0, 19.5, 15.37,
+                                  format="%.4f")
+            if c3.button("Locate"):
+                try:
+                    picked = pick_patch(float(lat), float(lon))
+                    st.session_state["tile"] = picked["tile"]
+                    st.session_state["cell"] = picked["cell"]
+                    st.success(f"{picked['tile']} cell {picked['cell']}")
+                except ValueError as e:
+                    st.error(str(e))
+        with st.expander("Czech Republic grid map (interactive)"):
+            sel = f"{st.session_state.get('tile', DEFAULT_TILES[0])}:" \
+                  f"{st.session_state['cell']}"
+            st.components.v1.html(cz_grid_map_html(selected=sel), height=520)
+            typed = st.text_input("Apply map selection (tile:cell)", sel)
+            if st.button("Use selection"):
+                try:
+                    t, c = parse_selection(typed)
+                    st.session_state["tile"] = t
+                    st.session_state["cell"] = c
+                except ValueError as e:
+                    st.error(str(e))
+        tile = st.selectbox(
+            "Sentinel-2 tile", DEFAULT_TILES,
+            index=(DEFAULT_TILES.index(st.session_state["tile"])
+                   if st.session_state.get("tile") in DEFAULT_TILES else 0))
         map_col, grid_col = st.columns([3, 2])
         with grid_col:
             st.caption("Pick a cell (row-major 0-99)")

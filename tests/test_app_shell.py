@@ -47,22 +47,32 @@ class FakeStreamlit(types.ModuleType):
     in ``log`` as (kind, payload)."""
 
     def __init__(self):
+        import types as _t
         super().__init__("streamlit")
         self.session_state = {}
         self.values = {}
         self.clicked = set()
         self.log = []
         self.sidebar = self
+        self.components = _t.SimpleNamespace(v1=_t.SimpleNamespace(
+            html=lambda html, height=None: self.log.append(
+                ("html", len(html)))))
 
     # widgets -------------------------------------------------------------
     def radio(self, label, options, horizontal=False):
         return self.values.get(label, options[0])
 
-    def selectbox(self, label, options):
-        return self.values.get(label, options[0])
+    def selectbox(self, label, options, index=0):
+        return self.values.get(label, options[index])
 
-    def number_input(self, label, mn, mx, value):
+    def number_input(self, label, mn, mx, value, **kw):
         return self.values.get(label, value)
+
+    def text_input(self, label, value=""):
+        return self.values.get(label, value)
+
+    def expander(self, label):
+        return _Col(self)
 
     def checkbox(self, label, value=False, disabled=False):
         return bool(self.values.get(label, value)) and not disabled
@@ -94,6 +104,9 @@ class FakeStreamlit(types.ModuleType):
 
     def info(self, text):
         self.log.append(("info", text))
+
+    def error(self, text):
+        self.log.append(("error", text))
 
     def success(self, text):
         self.log.append(("success", text))
@@ -230,3 +243,30 @@ def test_cache_tab_delete(app):
     fake.clicked = {"Delete timeseries"}
     run(fake, mod)
     assert any(c.cleared == ["timeseries"] for c in FakeCache.instances)
+
+
+def test_locate_by_coordinates(app):
+    """The WGS84 locate flow must run the closed-form spatial join
+    (map_picker.pick_patch) and move the app's tile+cell selection —
+    the reference's leafmap click->sjoin loop (home.py:63-77)."""
+    from crop2seg_tpu.webapp.map_picker import pick_patch
+
+    fake, mod, calls = app
+    fake.values["Menu"] = "Home"
+    fake.values["Latitude"], fake.values["Longitude"] = 49.6, 15.0
+    fake.clicked = {"Locate"}
+    run(fake, mod)
+    want = pick_patch(49.6, 15.0)
+    assert fake.session_state["tile"] == want["tile"]
+    assert fake.session_state["cell"] == want["cell"]
+    assert ("success", f"{want['tile']} cell {want['cell']}") in fake.log
+    # the interactive CZ map rendered (self-contained html embed)
+    assert "html" in fake.kinds()
+
+    # out-of-grid point surfaces an error, selection unchanged
+    fake.log.clear()
+    fake.values["Latitude"], fake.values["Longitude"] = 38.0, 15.0
+    fake.clicked = {"Locate"}
+    run(fake, mod)
+    assert "error" in fake.kinds()
+    assert fake.session_state["tile"] == want["tile"]

@@ -46,7 +46,10 @@ def test_wtae_forward_smoke():
     assert y.shape == (B, H, W, K) and bool(jnp.isfinite(y).all())
 
 
-def test_train_step_smoke_and_remat_parity():
+def test_train_step_smoke():
+    """One jitted train step stays in the fast gate; the remat-vs-plain
+    loss-parity comparison lives in tests/test_remat_variants.py (slow) —
+    it costs a second full backward compile (~75 s on one core)."""
     from crop2seg_tpu.learning import (
         StepConfig, create_train_state, make_train_step)
     from crop2seg_tpu.models import UTAE
@@ -54,18 +57,13 @@ def test_train_step_smoke_and_remat_parity():
     batch = {"x": _x, "dates": _dates, "pad_mask": _pad,
              "y": jnp.asarray(_rng.integers(0, K, (B, H, W)), jnp.int32)}
     cfg = StepConfig(num_classes=K)
-    losses = []
-    for remat in (False, True):
-        m = UTAE(**_TINY, remat=remat)
-        v = m.init(jax.random.PRNGKey(1), _x, _dates, pad_mask=_pad,
-                   train=False)
-        state = create_train_state(m, v, 1e-3)
-        step = jax.jit(make_train_step(m, cfg))
-        state, aux = step(state, batch, jax.random.PRNGKey(3))
-        assert bool(jnp.isfinite(aux["loss"]))
-        losses.append(float(aux["loss"]))
-    # activation checkpointing must not change the math
-    assert abs(losses[0] - losses[1]) < 1e-6
+    m = UTAE(**_TINY)
+    v = m.init(jax.random.PRNGKey(1), _x, _dates, pad_mask=_pad,
+               train=False)
+    state = create_train_state(m, v, 1e-3)
+    step = jax.jit(make_train_step(m, cfg))
+    state, aux = step(state, batch, jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(aux["loss"]))
 
 
 def test_aggregator_bf16_matches_f32():

@@ -185,12 +185,13 @@ def test_recall_ce_runs():
 def test_profiling_utils():
     import jax
     import jax.numpy as jnp
-    from crop2seg_tpu.models import UTAE
+    from crop2seg_tpu.models import UNet3D
     from crop2seg_tpu.utils.profiling import (
         StepMeter, count_params, inference_time, model_characteristics)
 
-    m = UTAE(input_dim=4, encoder_widths=(4, 8), decoder_widths=(4, 8),
-             out_conv=(4, 3), n_head=2, d_model=8, d_k=2)
+    # UNet3D: the cheapest-to-compile temporal-signature model (the utils
+    # are model-agnostic; a UTAE here costs ~25 s of pure XLA compile)
+    m = UNet3D(n_classes=3, feats=2)
     stats = model_characteristics(m, batch_shape=(1, 3, 16, 16, 4))
     assert stats["n_params"] > 0
 

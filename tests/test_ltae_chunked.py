@@ -50,6 +50,7 @@ def test_chunked_forward_matches(seq_chunk):
                                rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow  # ~40 s: the f64 exactness proof; fp32 forward-match stays fast
 def test_chunked_forward_and_grad_match_f64():
     """Exactness proof in float64 (fp-noise floor): forward AND parameter
     gradients of the scan+checkpoint path must equal the monolithic path."""
@@ -110,6 +111,7 @@ def test_chunked_batchnorm_stats_match():
                                    rtol=1e-5, atol=1e-6, err_msg=str(pr))
 
 
+@pytest.mark.slow  # ~115 s: full TimeUNet seq_chunk train compile
 def test_chunked_timeunet_trains():
     """One jitted TimeUNet train step with seq_chunk: finite loss + grads."""
     from crop2seg_tpu.learning import (StepConfig, create_train_state,

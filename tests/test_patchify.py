@@ -45,9 +45,12 @@ def test_whole_tile_predictor_tiny():
     from crop2seg_tpu.inference import make_tile_predictor
     from crop2seg_tpu.models import UTAE
 
-    model = UTAE(input_dim=4, encoder_widths=(8, 8, 16),
-                 decoder_widths=(4, 8, 16), out_conv=(8, 5), n_head=4,
-                 d_model=32, d_k=4)
+    # minimal 2-stage UTAE: this test pins the 1098^2 <-> 100x128^2 patch
+    # GEOMETRY and the predictor wiring, not model math (golden suites do
+    # that) — the smaller graph keeps it in the fast gate (~66 s before)
+    model = UTAE(input_dim=4, encoder_widths=(4, 8),
+                 decoder_widths=(4, 8), out_conv=(4, 5), n_head=2,
+                 d_model=8, d_k=2)
     t = 5
     tile = jax.random.normal(jax.random.PRNGKey(0), (t, 1098, 1098, 4)) \
         .astype(jnp.float32)
