@@ -102,12 +102,12 @@ def test_prefetch_loader(ds_folder):
     assert fetched == direct and len(pre) == len(base)
 
 
-def test_device_cache_loader(ds_folder):
+def test_device_cache_loader_eval_replay(ds_folder):
     import jax.numpy as jnp
     from crop2seg_tpu.data.batcher import DeviceCacheLoader
     ds = S2TSCZCropDataset(ds_folder, norm=False, set_type="train")
     base = BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False)
-    dev = DeviceCacheLoader(base, cast=jnp.bfloat16, shuffle=True, seed=3)
+    dev = DeviceCacheLoader(base, cast=jnp.bfloat16, shuffle=False)
 
     epoch1 = list(dev)
     direct = list(base)
@@ -121,12 +121,43 @@ def test_device_cache_loader(ds_folder):
                                    want["x"], rtol=0.01, atol=0.05)
         np.testing.assert_array_equal(np.asarray(got["y"]), want["y"])
 
-    # epoch 2 replays the SAME device buffers (no re-upload), order shuffled
+    # eval mode: epoch 2 replays the SAME device buffers (no re-upload)
     epoch2 = list(dev)
     assert len(epoch2) == len(epoch1)
-    id1 = sorted(id(b["x"]) for b in epoch1)
-    id2 = sorted(id(b["x"]) for b in epoch2)
-    assert id1 == id2
-    # a further epoch reshuffles independently but keeps the same buffers
-    epoch3 = list(dev)
-    assert sorted(id(b["x"]) for b in epoch3) == id1
+    assert sorted(id(b["x"]) for b in epoch2) \
+        == sorted(id(b["x"]) for b in epoch1)
+
+
+def test_device_cache_loader_reshuffles_composition():
+    """shuffle=True: every epoch after the first draws a FRESH per-sample
+    permutation and gathers batches from the resident per-bucket stacks —
+    same shuffling semantics as the host loader, zero re-upload."""
+    from crop2seg_tpu.data.batcher import DeviceCacheLoader
+
+    b, t = 2, 5
+
+    def mk(i):  # batch of samples [2i, 2i+1], sample id encoded in x AND y
+        x = np.zeros((b, t, 4, 4, 3), np.float32)
+        x[:, 0, 0, 0, 0] = [2 * i, 2 * i + 1]
+        y = np.zeros((b, 4, 4), np.int32)
+        y[:, 0, 0] = [2 * i, 2 * i + 1]
+        return {"x": x, "dates": np.zeros((b, t), np.float32),
+                "pad_mask": np.zeros((b, t), bool), "y": y}
+
+    inner = [mk(i) for i in range(4)]
+    dev = DeviceCacheLoader(inner, shuffle=True, seed=0)
+    list(dev)  # epoch 1: upload
+    comps = []
+    for _ in range(4):
+        ep = []
+        for bb in dev:
+            xs = np.asarray(bb["x"])[:, 0, 0, 0, 0].astype(int)
+            ys = np.asarray(bb["y"])[:, 0, 0]
+            np.testing.assert_array_equal(xs, ys)  # leaves stay aligned
+            assert len(xs) == b
+            ep.append(tuple(xs.tolist()))
+        # every epoch covers the full sample set exactly once
+        assert sorted(i for tup in ep for i in tup) == list(range(8))
+        comps.append(tuple(sorted(ep)))
+    assert len(set(comps)) > 1  # composition actually varies across epochs
+    assert len(dev) == 4

@@ -141,12 +141,14 @@ parser.add_argument("--use_weighted_sampling", action="store_true",
                          "sampler at train.py:340-344)")
 parser.add_argument("--device_cache", action="store_true",
                     help="keep the train/val sets resident in device HBM "
-                         "after epoch 1 and replay batches from there "
-                         "(single-device runs, dataset must fit in HBM; "
-                         "batch composition freezes after epoch 1, order "
-                         "still reshuffles — see data.DeviceCacheLoader). "
-                         "Removes the per-epoch host->device transfer, "
-                         "which dominates when the host link is slow")
+                         "after epoch 1: later epochs draw a fresh "
+                         "per-sample shuffle and assemble batches by "
+                         "on-device gather from per-bucket stacks "
+                         "(single-device runs, dataset must fit in HBM, "
+                         "augmentation frozen at its epoch-1 draw — see "
+                         "data.DeviceCacheLoader). Removes the per-epoch "
+                         "host->device transfer, which dominates when the "
+                         "host link is slow")
 
 LIST_ARGS = ("encoder_widths", "decoder_widths", "out_conv", "t_buckets")
 
