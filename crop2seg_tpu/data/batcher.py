@@ -242,23 +242,27 @@ class DeviceCacheLoader:
 
     def _build_stacks(self):
         """Concatenate the cached batches per T-bucket (on device) so later
-        epochs can gather arbitrary sample subsets; the per-batch refs are
-        then released so the set is resident exactly once."""
+        epochs can gather arbitrary sample subsets. Each bucket's per-batch
+        copies are released right after that bucket's concatenate, so the
+        HBM peak is dataset + one bucket — not 2x the dataset (which would
+        break the fits-in-HBM contract at the start of epoch 2)."""
         import jax
         import jax.numpy as jnp
 
         buckets: dict = {}
         for dev in self._cache:
             buckets.setdefault(dev["x"].shape[1], []).append(dev)
-        self._stacks = {
-            t: {k: jnp.concatenate([d[k] for d in devs], axis=0)
-                for k in devs[0]}
-            for t, devs in buckets.items()
-        }
         self._batch_size = max(d["x"].shape[0] for d in self._cache)
+        self._cache = []  # the bucket lists below hold the only refs now
+        self._stacks = {}
+        for t in sorted(buckets):
+            devs = buckets.pop(t)
+            self._stacks[t] = {
+                k: jnp.concatenate([d[k] for d in devs], axis=0)
+                for k in devs[0]}
+            devs.clear()  # free this bucket's per-batch copies
         self._gather = jax.jit(lambda s, i: jax.tree_util.tree_map(
             lambda a: a[i], s))
-        self._cache = []  # free the per-batch copies
 
     def __iter__(self):
         if self._cache is None:

@@ -143,6 +143,23 @@ def has_state(fold_dir: str) -> bool:
     return _resolve_state_path(fold_dir) is not None
 
 
+def has_opt_state(fold_dir: str) -> bool:
+    """True when the saved tree carries an ``opt_state`` entry. A converted
+    torch release (:func:`save_converted`) does not; callers use this to
+    tell "intentionally no optimizer state" apart from a failing restore
+    (which should be loud, not silently reset the Adam moments)."""
+    import orbax.checkpoint as ocp
+
+    path = _resolve_state_path(fold_dir)
+    if path is None:
+        return False
+    meta = ocp.PyTreeCheckpointer().metadata(path)
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
+    if tree is None:  # older orbax: metadata() returns the tree directly
+        tree = meta
+    return "opt_state" in tree
+
+
 def load_state(fold_dir: str, state=None):
     """Returns (payload dict). When ``state`` is given, opt_state is restored
     with matching structure."""

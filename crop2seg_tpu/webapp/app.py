@@ -77,6 +77,10 @@ def main():
             "Sentinel-2 tile", DEFAULT_TILES,
             index=(DEFAULT_TILES.index(st.session_state["tile"])
                    if st.session_state.get("tile") in DEFAULT_TILES else 0))
+        # Keep the session tile in sync with the selectbox so the CZ map
+        # pre-highlight and the "Apply map selection" default above follow
+        # a selectbox change on the next rerun (they render before it).
+        st.session_state["tile"] = tile
         map_col, grid_col = st.columns([3, 2])
         with grid_col:
             st.caption("Pick a cell (row-major 0-99)")

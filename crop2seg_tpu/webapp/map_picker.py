@@ -47,9 +47,14 @@ def cz_tile_origins(index_path: Optional[str] = None
     for name in CZ_TILES:
         origin = None
         if index_path is not None:
+            # Any unreadable/corrupt index (missing file, truncated or
+            # non-shapefile bytes -> struct.error/ValueError from the
+            # header parser, tile absent) falls back to the MGRS origin:
+            # a bogus index path must degrade the origins, not crash the
+            # Home page render.
             try:
                 origin = tile_origin_from_index(name, index_path)
-            except (KeyError, OSError):
+            except Exception:
                 origin = None
         out[name] = origin if origin is not None else mgrs_tile_origin(name)
     return out

@@ -42,13 +42,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# reference prediction.py:241: S2 bands 10m/20m -> PASTIS channel order
-PASTIS_CHANNEL_ORDER = [2, 1, 0, 4, 5, 6, 3, 7, 8, 9]
+# reference prediction.py:241: S2 bands 10m/20m -> PASTIS channel order —
+# the single source of truth is the dataset module so the converter's norm
+# reorder can never diverge from what S2TSCZCropDataset serves.
+from crop2seg_tpu.data.s2tsczcrop import PASTIS_CHANNEL_ORDER  # noqa: E402
 
 
 def flatten_norm(blob: dict) -> dict:
     if "train" in blob and "mean" in blob.get("train", {}):
-        order = PASTIS_CHANNEL_ORDER
+        order = list(PASTIS_CHANNEL_ORDER)  # tuple would multi-axis index
         return {"mean": np.asarray(blob["train"]["mean"],
                                    np.float64)[order].tolist(),
                 "std": np.asarray(blob["train"]["std"],

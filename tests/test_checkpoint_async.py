@@ -103,3 +103,21 @@ def test_resume_readopts_existing_checkpoints(tmp_path):
     assert _ckpt_dirs(d) == ["ckpt_e0002", "ckpt_e0003"]
     assert ckpt.load_state(d)["meta"]["epoch"] == 3
     cp2.close()
+
+
+def test_has_opt_state_distinguishes_converted_release(tmp_path):
+    """has_opt_state: True for a trained checkpoint (save_state payload
+    carries the Adam moments), False for a converted torch release
+    (save_converted intentionally stores none) — train.py uses this to
+    tell 'no moments on purpose' apart from a failing restore."""
+    trained = str(tmp_path / "trained")
+    os.makedirs(trained)
+    ckpt.save_state(trained, _state(1), epoch=1, best_miou=0.5)
+    assert ckpt.has_opt_state(trained)
+
+    converted = str(tmp_path / "converted")
+    ckpt.save_converted(converted, {"params": _state(2).params})
+    assert ckpt.has_state(converted)
+    assert not ckpt.has_opt_state(converted)
+
+    assert not ckpt.has_opt_state(str(tmp_path / "missing"))

@@ -351,6 +351,11 @@ def main(config):
         if config.augment:
             logging.warning("--device_cache freezes augmentation at its "
                             "epoch-1 draw; leave it off for augmented runs")
+        if config.use_weighted_sampling:
+            logging.warning("--device_cache freezes the weighted sampler at "
+                            "its epoch-1 draw: epochs 2+ reshuffle that "
+                            "fixed sample multiset instead of re-drawing "
+                            "with replacement each epoch")
         cast = jnp.bfloat16 if config.bf16 else None
         train_loader = DeviceCacheLoader(train_loader, cast=cast,
                                          shuffle=True, seed=config.rdm_seed)
@@ -453,14 +458,18 @@ def main(config):
         # The reference drops optimizer state on resume (train.py:459-460
         # commented out) — a resume there silently restarts the moments; we
         # restore them with a structured template so Adam continues exactly.
-        try:
+        # Probe the saved tree first: a converted torch release carries no
+        # opt_state on purpose (checkpoint.save_converted) and must start
+        # Adam fresh, but a genuine restore failure (corrupt dir, orbax
+        # mismatch) must be loud — not silently reset the moments.
+        if ckpt.has_opt_state(resume_opt_dir):
             payload = ckpt.load_state(resume_opt_dir, state=state)
             state = state.replace(opt_state=payload["opt_state"])
             logging.info("restored optimizer state (Adam moments + step count)")
-        except Exception as err:  # e.g. a converted torch release: no moments
-            logging.warning("checkpoint carries no restorable optimizer "
-                            "state (converted torch release?); Adam starts "
-                            "fresh like the reference resume: %s", err)
+        else:
+            logging.warning("checkpoint carries no optimizer state "
+                            "(converted torch release); Adam starts fresh "
+                            "like the reference resume")
 
     # Data-parallel mesh (SURVEY.md §2.7 item 1; replaces the reference's
     # single-device loop at /root/reference/train.py:447,480-544).
