@@ -239,6 +239,10 @@ def transform_coords(x, y, src_epsg: int, dst_epsg: int):
     Replaces the reference's pyproj usage for LPIS overlays
     (/root/reference/crop2seg.py:341-371)."""
     if src_epsg == dst_epsg:
+        # honor the scalars-in-floats-out contract of the transform path
+        # below (a 0-d ndarray here breaks JSON serialization of metadata)
+        if np.isscalar(x) or np.ndim(x) == 0:
+            return float(x), float(y)
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
 
     def to_wgs(x, y, epsg):

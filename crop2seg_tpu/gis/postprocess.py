@@ -110,13 +110,24 @@ def homogenize_raster(prediction: np.ndarray, parcels: np.ndarray,
     parcels = np.asarray(parcels, np.int64)
     n_parcels = int(parcels.max())
     if type_ == "soft":
+        # per-parcel soft rule only (reference :491-507): mean probability
+        # per parcel, background kept only when confidently background
+        # (fixed 0.7, the reference's threshold — ``background_share``
+        # governs the hard vote below, not this rule). The hard-vote
+        # histogram is not computed here; it would be discarded.
         proba = prediction
         if proba.shape[0] < proba.shape[-1]:
             proba = np.moveaxis(proba, 0, -1)
-        arrs = prediction_to_arrays(proba)
-        hard = arrs["top1"]
-    else:
-        hard = np.asarray(prediction, np.int64)
+        mean_p = _segment_mean_proba(proba, parcels.astype(np.int32),
+                                     n_parcels)
+        order = np.argsort(-mean_p, axis=-1)
+        top1, top2 = order[:, 0].copy(), order[:, 1]
+        p1 = np.take_along_axis(mean_p, order[:, :1], axis=-1)[:, 0]
+        z = top1 == 0
+        top1[z] = np.where(p1[z] > 0.7, 0, top2[z])
+        top1[0] = 0  # outside parcels
+        return top1[parcels].astype(np.uint8)
+    hard = np.asarray(prediction, np.int64)
     k = int(hard.max()) + 1
 
     # joint histogram parcel x class == the area table of the vector overlay
@@ -131,18 +142,7 @@ def homogenize_raster(prediction: np.ndarray, parcels: np.ndarray,
     has_crop = nonbg.max(axis=1) > 0
     label = np.where((bg_share > background_share) | ~has_crop, 0, winner)
     label[0] = 0  # outside parcels
-    out = label[parcels].astype(np.uint8)
-    if type_ == "soft":
-        # enrich with the soft rule per parcel (reference :491-507)
-        mean_p = _segment_mean_proba(proba, parcels.astype(np.int32), n_parcels)
-        order = np.argsort(-mean_p, axis=-1)
-        top1, top2 = order[:, 0].copy(), order[:, 1]
-        p1 = np.take_along_axis(mean_p, order[:, :1], axis=-1)[:, 0]
-        z = top1 == 0
-        top1[z] = np.where(p1[z] > 0.7, 0, top2[z])
-        top1[0] = 0
-        out = top1[parcels].astype(np.uint8)
-    return out
+    return label[parcels].astype(np.uint8)
 
 
 def homogenize_boundaries(proba: np.ndarray, boundary_code: int = 15,

@@ -65,6 +65,11 @@ class GeoRef:
         r1, c1 = self.affine.world_to_pixel(right, bottom)
         r0, c0 = int(np.floor(r0)), int(np.floor(c0))
         r1, c1 = int(np.ceil(r1)), int(np.ceil(c1))
+        # clamp to the raster: bounds a fraction of a pixel outside the
+        # tile (e.g. ~1 m reprojection rounding on an edge cell) must read
+        # the overlap, not wrap via negative indexing into an empty window
+        r0, c0 = max(r0, 0), max(c0, 0)
+        r1, c1 = min(r1, arr.shape[-2]), min(c1, arr.shape[-1])
         sub = arr[..., r0:r1, c0:c1]
         x0, y0 = self.affine.pixel_to_world(r0, c0)
         new = Affine(self.affine.a, self.affine.b, float(x0),

@@ -130,8 +130,13 @@ def window_from_bounds(affine, bounds) -> Tuple[int, int, int, int]:
     left, bottom, right, top = bounds
     r0, c0 = affine.world_to_pixel(left, top)
     r1, c1 = affine.world_to_pixel(right, bottom)
-    return (int(np.floor(min(r0, r1))), int(np.ceil(max(r0, r1))),
-            int(np.floor(min(c0, c1))), int(np.ceil(max(c0, c1))))
+    # clamp at 0: bounds marginally outside the tile (reprojection rounding
+    # on edge cells) must clip to the overlap, not produce negative indices
+    # that wrap the later numpy slices into empty windows
+    return (max(0, int(np.floor(min(r0, r1)))),
+            max(0, int(np.ceil(max(r0, r1)))),
+            max(0, int(np.floor(min(c0, c1)))),
+            max(0, int(np.ceil(max(c0, c1)))))
 
 
 def read_safe_bands(safe_dir: str,
@@ -155,8 +160,9 @@ def read_safe_bands(safe_dir: str,
         if window is None:
             return np.asarray(arr)
         f = band_factor(name)
-        r0, r1, c0, c1 = (v // f for v in window)
-        return np.ascontiguousarray(arr[..., r0:r1, c0:c1])
+        r0, r1, c0, c1 = (max(0, v) // f for v in window)
+        return np.ascontiguousarray(
+            arr[..., r0:min(r1, arr.shape[-2]), c0:min(c1, arr.shape[-1])])
 
     npys = {os.path.splitext(os.path.basename(p))[0]: p
             for p in glob.glob(os.path.join(safe_dir, "**", "*.npy"),
@@ -170,21 +176,37 @@ def read_safe_bands(safe_dir: str,
         raise RuntimeError(
             f"no .npy bands under {safe_dir} and rasterio is unavailable; "
             "extract bands to <BAND>.npy or install rasterio") from err
-    bands = {}
+    # One file per band at its NATIVE resolution: an L2A product duplicates
+    # every band across IMG_DATA/R10m|R20m|R60m, and the window scaling via
+    # band_factor below assumes the native grid — globbing everything and
+    # letting the last match win would leave e.g. B04 as the 1830^2 R60m
+    # copy (6x mis-scale / zero-size upsample downstream). L1C files carry
+    # no Rxxm path segment and are native by definition.
+    import re
+
+    chosen: Dict[str, Tuple[int, str]] = {}
     for path in glob.glob(os.path.join(safe_dir, "GRANULE", "*", "IMG_DATA",
                                        "**", "*.jp2"), recursive=True):
         stem = os.path.basename(path)
         for name in FULL_BAND_ORDER:
             if f"_{name}_" in stem or stem.endswith(f"{name}.jp2"):
-                with rasterio.open(path) as src:
-                    if window is None:
-                        bands[name] = src.read(1)
-                    else:
-                        from rasterio.windows import Window
-                        f = band_factor(name)
-                        r0, r1, c0, c1 = (v // f for v in window)
-                        bands[name] = src.read(1, window=Window(
-                            c0, r0, c1 - c0, r1 - r0))
+                m = re.search(r"[/\\]R(\d+)m[/\\]", path)
+                native = band_factor(name) * 10
+                penalty = (0 if m is None or int(m.group(1)) == native
+                           else abs(int(m.group(1)) - native))
+                if name not in chosen or penalty < chosen[name][0]:
+                    chosen[name] = (penalty, path)
+    bands = {}
+    for name, (_, path) in chosen.items():
+        with rasterio.open(path) as src:
+            if window is None:
+                bands[name] = src.read(1)
+            else:
+                from rasterio.windows import Window
+                f = band_factor(name)
+                r0, r1, c0, c1 = (max(0, v) // f for v in window)
+                bands[name] = src.read(1, window=Window(
+                    c0, r0, c1 - c0, r1 - r0))
     return bands
 
 

@@ -248,8 +248,11 @@ def ndvi_class_profiles(x: np.ndarray, dates: np.ndarray, target: np.ndarray,
 
 # --- band/time pixel profiles (reference visualize.py:42-76) ---------------
 
-S2_BAND_NAMES = ("B04", "B03", "B02", "B08", "B05", "B06", "B07", "B8A",
-                 "B11", "B12")  # PASTIS channel order (s2_ts_cz_crop.py:248)
+# PASTIS channel order, i.e. the order S2TSCZCropDataset serves by default:
+# the native (B04,B03,B02,B08,B05,B06,B07,B8A,B11,B12) stack reordered by
+# [2,1,0,4,5,6,3,7,8,9] (s2_ts_cz_crop.py:248) — ascending wavelength.
+S2_BAND_NAMES = ("B02", "B03", "B04", "B05", "B06", "B07", "B08", "B8A",
+                 "B11", "B12")
 
 
 def plot_spectral_profile(x: np.ndarray, time: int = 0,
@@ -368,8 +371,10 @@ def plot_pretty_confusion_matrix(cm: np.ndarray, print_iou: bool = True,
     ax.set_xticks(range(len(col_labels)), col_labels, rotation=45,
                   ha="right", fontsize=8)
     ax.set_yticks(range(len(row_labels)), row_labels, fontsize=8)
-    ax.set_xlabel("Actual")
-    ax.set_ylabel("Predicted")
+    # cm_with_totals lays out rows = actual, cols = predicted (reference
+    # confusion_matrix_pretty_print.py:248-249 labels the same layout)
+    ax.set_xlabel("Predicted")
+    ax.set_ylabel("Actual")
     return _save(fig, path)
 
 

@@ -179,17 +179,30 @@ def get_time_series(tile_name: str, bounds, cache_dir: str, client=None,
         logging.info("time series already generated, skipping")
         return out
     last_err = None
-    for relax in relax_steps:
-        try:
-            if client is not None and relax:
-                client.cfg = client.cfg.with_clouds(relax)
-            dc = DatasetCreator(out, loader=loader, for_inference=True,
-                                download=client is not None, client=client)
-            dc.run_tile(tile_name, bounds=bounds)
-            return out
-        except Exception as err:  # retry with relaxed clouds (reference :230-246)
-            logging.warning("acquisition failed (%s); relaxing clouds", err)
-            last_err = err
+    # relax_steps are ABSOLUTE increments over the client's base cloud caps
+    # (reference get_data.py:230-246 swaps in fresh absolute arrays per
+    # retry): each attempt derives from the saved base — not the previous
+    # attempt's caps — and the base is restored afterwards so a shared
+    # client doesn't start the next tile pre-relaxed.
+    base_cfg = client.cfg if client is not None else None
+    try:
+        for relax in relax_steps:
+            try:
+                if client is not None:
+                    client.cfg = (base_cfg.with_clouds(relax) if relax
+                                  else base_cfg)
+                dc = DatasetCreator(out, loader=loader, for_inference=True,
+                                    download=client is not None,
+                                    client=client)
+                dc.run_tile(tile_name, bounds=bounds)
+                return out
+            except Exception as err:  # retry w/ relaxed clouds (ref :230-246)
+                logging.warning("acquisition failed (%s); relaxing clouds",
+                                err)
+                last_err = err
+    finally:
+        if client is not None:
+            client.cfg = base_cfg
     raise RuntimeError(f"time-series acquisition failed: {last_err}")
 
 
@@ -394,6 +407,9 @@ def stream_tile_inference(model, variables, ds, batch_size: int = 10,
         if timeline is not None:
             timeline.update(tl)
     else:
+        import time as _time
+
+        t_run = _time.perf_counter()
         q = _queue.Queue(maxsize=2)
         Thread(target=produce, args=(q,), daemon=True).start()
 
@@ -432,8 +448,11 @@ def stream_tile_inference(model, variables, ds, batch_size: int = 10,
         fetcher.join()
         if fetch_err:
             raise fetch_err[0]
-        if timeline is not None:  # stages overlap across threads here
-            timeline["total"] = None
+        if timeline is not None:
+            # stages overlap across worker threads here, so only the wall
+            # total is meaningful — but it IS recorded (the docstring's
+            # per-stage budget contract promises at least 'total')
+            timeline["total"] = _time.perf_counter() - t_run
 
     proba = np_stitch_inference_tile(
         np.concatenate([p for p, _ in results]).astype(np.float32))
@@ -479,6 +498,12 @@ def generate_prediction(data_folder: str, model_dir: str, year: int,
     if os.path.exists(conf_path):
         stored = json.load(open(conf_path))
         stored.pop("dtype", None)
+        # the architecture comes from the training conf, but the reference
+        # date is per PREDICTION year (reference prediction.py:193-203): a
+        # model trained on 2019 data with ref_date 2018-09-01 must see 2022
+        # acquisitions as offsets from 2021-09-01 so day offsets land in
+        # the trained 0-400 range — the stored ref_date must not win here.
+        stored.pop("ref_date", None)
         conf.update(stored)
     conf["use_pallas"] = use_pallas
     model = get_model({**conf, "out_conv": conf.get("out_conv", [32, 15])})

@@ -194,3 +194,25 @@ def test_homogenize_raster_vs_exact_geometry_oracle():
     # with margins INSIDE the discretization band — crop_margin 3.5 px^2
     # and bg_margin 2.1 px^2 vs D ~12-19 px^2)
     assert len(disagree) <= max(1, int(0.10 * pid)), disagree
+
+
+def test_homogenize_raster_soft():
+    """Soft mode: per-parcel MEAN-probability argmax; background wins only
+    when confidently background (>0.7, the reference's threshold,
+    postprocess.py:491-507), else the parcel takes its top-2 crop. Pixels
+    outside any parcel stay 0."""
+    k = 3
+    parcels = np.zeros((4, 6), np.int32)
+    parcels[:, :3] = 1   # parcel 1: background on top but not confident
+    parcels[:, 3:] = 2   # parcel 2: confidently background
+    parcels[0, 0] = 0    # outside any parcel
+    proba = np.zeros((4, 6, k), np.float32)
+    proba[:, :3] = (0.55, 0.25, 0.20)
+    proba[:, 3:] = (0.90, 0.05, 0.05)
+    out = homogenize_raster(proba, parcels, type_="soft")
+    assert set(out[parcels == 1].tolist()) == {1}
+    assert set(out[parcels == 2].tolist()) == {0}
+    assert out[0, 0] == 0
+    # channels-first probabilities are accepted too
+    out2 = homogenize_raster(np.moveaxis(proba, -1, 0), parcels, type_="soft")
+    np.testing.assert_array_equal(out, out2)

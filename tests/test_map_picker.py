@@ -78,3 +78,26 @@ def test_cz_tile_origins_modes(tmp_path):
     assert set(origins) == set(CZ_TILES)
     origins2 = cz_tile_origins(index_path=str(tmp_path / "missing.shp"))
     assert origins2 == origins
+
+
+def test_corrupt_index_falls_back(tmp_path):
+    # truncated/non-shapefile bytes raise struct/Value errors in the header
+    # parser; the origins must degrade to MGRS, not crash the page render
+    bad = tmp_path / "bad.shp"
+    bad.write_bytes(b"definitely not a shapefile")
+    assert cz_tile_origins(index_path=str(bad)) == cz_tile_origins()
+
+
+def test_tile_geometry_constants_agree():
+    """The cell/tile geometry is declared in four modules (pipeline stays
+    importable without jax, so it cannot import ops.patchify); this pins
+    them together so they cannot drift."""
+    from crop2seg_tpu.gis import dataset_creator
+    from crop2seg_tpu.ops import patchify
+    from crop2seg_tpu.webapp import map_picker, pipeline
+
+    assert pipeline.CELL_PX == patchify.INFER_TILE == dataset_creator.INFER_TILE
+    assert pipeline.CELLS_PER_SIDE == dataset_creator.INFER_GRID
+    assert pipeline.TILE_PX == patchify.TRAIN_TILE
+    assert pipeline.TILE_PX == pipeline.CELL_PX * pipeline.CELLS_PER_SIDE
+    assert map_picker.TILE_M == pipeline.TILE_PX * 10.0

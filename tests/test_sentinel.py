@@ -149,3 +149,34 @@ def test_with_clouds_relaxation():
     assert relaxed.clouds == (75, 100)
     assert cfg.clouds == (65, 95)
     assert relaxed.dates == cfg.dates
+
+
+def test_get_time_series_relax_absolute_and_restored(tmp_path, monkeypatch):
+    """Each acquisition retry relaxes from the BASE cloud caps (absolute
+    steps, reference get_data.py:230-246) — not compounding on the previous
+    attempt — and the caller's client.cfg is restored afterwards so a
+    shared client doesn't start the next tile pre-relaxed."""
+    from types import SimpleNamespace
+
+    from crop2seg_tpu.gis import dataset_creator as dc_mod
+    from crop2seg_tpu.webapp import pipeline
+
+    base = SentinelConfig(clouds=(60, 80))
+    client = SimpleNamespace(cfg=base)
+    seen = []
+
+    class FailingDC:
+        def __init__(self, out, loader=None, for_inference=True,
+                     download=False, client=None):
+            self.client = client
+
+        def run_tile(self, tile_name, bounds=None):
+            seen.append(self.client.cfg.clouds)
+            raise RuntimeError("no acquisitions")
+
+    monkeypatch.setattr(dc_mod, "DatasetCreator", FailingDC)
+    with pytest.raises(RuntimeError, match="acquisition failed"):
+        pipeline.get_time_series("T33UVR", (0, 0, 1, 1), str(tmp_path),
+                                 client=client, relax_steps=(0, 10, 20))
+    assert seen == [(60, 80), (70, 90), (80, 100)]
+    assert client.cfg is base
