@@ -315,23 +315,42 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Stop-aware put: when the consumer abandons iteration early
+            # (train-step exception, break out of the epoch), its generator
+            # finalizer sets ``stop``; a plain q.put would block this
+            # thread forever on the full queue, leaking the thread, up to
+            # prefetch+1 batches, and the underlying loader mid-epoch.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except Exception as e:  # surface loader errors on the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()

@@ -51,14 +51,26 @@ def _load_array(folder: str, sub: str, name: str) -> np.ndarray:
     return np.load(path)
 
 
-def load_norm_values(path: str, folds=None) -> Dict[str, np.ndarray]:
-    """Parse NORM_S2_patch.json (reference webapp/prediction.py:232-250):
-    {'Fold_1': {'mean': [...], 'std': [...]}, ...} averaged over folds, or a
-    flat {'mean', 'std'}.
+def load_norm_values(path: str, folds=None,
+                     reorder: bool = True) -> Dict[str, np.ndarray]:
+    """Parse NORM_S2_patch.json into the CHANNEL ORDER THE DATASET SERVES
+    (reference train.py:282-296 / webapp/prediction.py:232-251):
+
+    - ``{'train': {...}}`` — the S2TSCzCrop release format; stats are in
+      .SAFE band order and are REORDERED by ``PASTIS_CHANNEL_ORDER`` here,
+      because the dataset standardizes AFTER reordering the data to PASTIS
+      order (the reference applies the same [2,1,0,4,5,6,3,7,8,9] fix when
+      loading this format).
+    - ``{'Fold_k': {...}}`` — the PASTIS format; already PASTIS-ordered
+      (identity in the reference), averaged over ``folds``.
+    - flat ``{'mean', 'std'}`` — already in served order (what
+      scripts/convert_checkpoint.py writes); returned as-is.
 
     ``folds``: restrict the average to these fold numbers — the PASTIS 5-fold
     protocol normalizes with the statistics of the *training* folds only
-    (reference train.py:283-286)."""
+    (reference train.py:283-286). ``reorder=False`` keeps 'train'-keyed
+    stats in .SAFE order for a dataset built with
+    ``channels_like_pastis=False``."""
     with open(path) as f:
         blob = json.load(f)
     if "mean" in blob:
@@ -67,7 +79,11 @@ def load_norm_values(path: str, folds=None) -> Dict[str, np.ndarray]:
     keys = [f"Fold_{f}" for f in folds] if folds is not None else list(blob)
     means = [np.asarray(blob[k]["mean"], np.float32) for k in keys]
     stds = [np.asarray(blob[k]["std"], np.float32) for k in keys]
-    return {"mean": np.stack(means).mean(0), "std": np.stack(stds).mean(0)}
+    mean, std = np.stack(means).mean(0), np.stack(stds).mean(0)
+    if reorder and any(k.startswith("train") for k in keys):
+        order = list(PASTIS_CHANNEL_ORDER)
+        mean, std = mean[order], std[order]
+    return {"mean": mean, "std": std}
 
 
 class S2TSCZCropDataset:
@@ -150,7 +166,11 @@ class S2TSCZCropDataset:
                            ).astype(np.float32)
         data = data[:, self.channels_order]
         if self.add_ndvi:
-            nir, red = data[:, 6], data[:, 2]  # PASTIS order: B08 at 6, B04 at 2
+            # B08/B04 positions follow the SERVED order (reference
+            # s2_ts_cz_crop.py:384-390 branches the same way): PASTIS order
+            # has B08 at 6 / B04 at 2; .SAFE order has them at 3 / 0.
+            i_nir, i_red = (6, 2) if self.channels_order[0] == 2 else (3, 0)
+            nir, red = data[:, i_nir], data[:, i_red]
             denom = nir + red
             ndvi = np.where(denom == 0, 0.0, (nir - red) / np.where(denom == 0, 1, denom))
             ndvi = np.where((ndvi < -1) | (ndvi > 1), 0.0, ndvi).astype(np.float32)
@@ -212,7 +232,8 @@ class S2TSCZCropDataset:
             s["y"] = self.transform.apply_map(y, gather)
             s["gather"] = gather
         frame_idx = np.arange(t)
-        if self.set_type == "train" and self.temporal_dropout > 0.0:
+        if (not self.for_inference and self.set_type == "train"
+                and self.temporal_dropout > 0.0):
             keep = self._rng.random(t) > self.temporal_dropout
             keep[0] = keep[0] or not keep.any()  # never drop everything
             frame_idx = np.nonzero(keep)[0]
@@ -286,7 +307,8 @@ class S2TSCZCropDataset:
                 self.set_type == "train":
             data, target = self.transform(data, target, self._rng)
 
-        if self.set_type == "train" and self.temporal_dropout > 0.0:
+        if (not self.for_inference and self.set_type == "train"
+                and self.temporal_dropout > 0.0):
             keep = self._rng.random(data.shape[0]) > self.temporal_dropout
             keep[0] = keep[0] or not keep.any()  # never drop everything
             data, dates = data[keep], dates[keep]

@@ -56,11 +56,7 @@ def make_synthetic_dataset(folder: str, n_patches: int = 12,
         sq_acc += (sig ** 2).mean(axis=(0, 2, 3))
         count += 1
 
-        doys = np.sort(rng.choice(np.arange(250), size=t, replace=False))
-        dates = {str(j): int(f"{year if d >= 120 else year - 1}"
-                             f"{(d % 12) + 1:02d}{(d % 27) + 1:02d}")
-                 for j, d in enumerate(doys)}
-        # valid ascending-ish dates: simpler construction
+        # valid ascending dates from a fixed season start
         dates = {}
         start = np.datetime64(f"{year - 1}-09-05")
         for j, d in enumerate(np.sort(rng.choice(np.arange(0, 360), t, replace=False))):

@@ -115,9 +115,6 @@ def create_train_test_split(folder: str, tiles: Sequence[str] | None = None,
     rng = np.random.default_rng(seed)
     per_tile = grid * grid
 
-    majority_rule = ((m["Background_Cover"] < 0.2 * per_tile)
-                     if "Background_Cover" in m else False)
-
     set_col = np.array([""] * len(m), dtype=object)
     for e, tile in enumerate(tiles):
         sel = m["TILE"] == tile
@@ -127,7 +124,16 @@ def create_train_test_split(folder: str, tiles: Sequence[str] | None = None,
         for pid, row in sub.iterrows():
             local = int(pid) % per_tile
             r, c = local // grid, local % grid
-            if any(row.get(col, 0) > 0 for col in MINORITY_COLUMNS):
+            # seed criterion (reference s2_ts_cz_crop.py:585-590): any
+            # minority class present, OR all three majority classes below
+            # their caps. Reference quirk preserved: the Cover columns hold
+            # PIXEL COUNTS (calc_cover_statistics), so '< 0.2'/'< 0.3'
+            # effectively means ZERO pixels of each majority class.
+            low_majority = (row.get("Background_Cover", np.inf) < 0.2
+                            and row.get("Grassland_Cover", np.inf) < 0.3
+                            and row.get("Winter_cereals_Cover", np.inf) < 0.3)
+            if low_majority or any(row.get(col, 0) > 0
+                                   for col in MINORITY_COLUMNS):
                 minority_mask[r, c] = True
             if row.get("Flax_Hemp_Cover", 0) > 0:
                 flax_mask[r, c] = True

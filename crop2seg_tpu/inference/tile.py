@@ -31,6 +31,15 @@ def make_tile_predictor(model, batch_size: int = 10, mesh=None,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if mesh is not None:
+        # device_put with P('data') requires the batch axis to divide the
+        # mesh; round the chunk up so each device gets equal patch rows
+        # (the pad-to-one-compiled-shape path below absorbs the excess) —
+        # same guard as parallel.patch_parallel_infer (mesh.py).
+        n = int(mesh.shape["data"])
+        if batch_size % n:
+            batch_size += n - batch_size % n
+
     def _forward_batch(variables, xb, dates_b, mask_b):
         logits = model.apply(variables, xb, dates_b, pad_mask=mask_b,
                              train=False)

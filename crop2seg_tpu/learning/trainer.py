@@ -209,9 +209,19 @@ def run_epoch(step_fn, state, loader, cfg: StepConfig, mode: str = "train",
             # get_affine path: predictions round-trip through the host LPIS
             # homogenizer anyway, so the deferral buys nothing here
             pred_h = homogenizer(np.asarray(aux["pred"]), batch)
+            y_m = jnp.asarray(batch["y"])
+            if cfg.test_region in ("boundary", "interior"):
+                # mirror the in-step region reclassification so the
+                # homogenized CM scores the same pixel set (the reference
+                # homogenizes, THEN reclassifies y, then feeds the meter —
+                # learning/utils.py:341-385)
+                ignore_label = cfg.ignore_index % cfg.num_classes
+                on_b = boundary_mask(y_m, cfg.num_classes).astype(bool)
+                drop = ~on_b if cfg.test_region == "boundary" else on_b
+                y_m = jnp.where(drop, ignore_label, y_m)
             aux = dict(aux)
             aux["cm"] = confusion_matrix(
-                jnp.asarray(pred_h), batch["y"], cfg.num_classes)
+                jnp.asarray(pred_h), y_m, cfg.num_classes)
         step_vals = {k: aux[k] for k in acc_keys}
         acc = step_vals if acc is None \
             else {k: acc[k] + step_vals[k] for k in acc_keys}

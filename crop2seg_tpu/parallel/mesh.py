@@ -56,15 +56,14 @@ def data_parallel_step(step_fn, mesh: Mesh, axis: str = "data",
     all-reduce. Metric confusion matrices come back replicated (summed).
     """
     repl = NamedSharding(mesh, P())
-
-    def in_shardings(state, batch, rng):
-        return (
-            jax.tree_util.tree_map(lambda _: repl, state),
-            {k: NamedSharding(mesh, P(axis)) for k in batch},
-            repl,
-        )
-
-    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+    # pytree-prefix in_shardings: one sharding per argument broadcasts over
+    # that argument's leaves — the documented contract (state replicated,
+    # batch sharded on ``axis``, rng replicated) is ENFORCED by jit rather
+    # than relying on every caller remembering replicate(state, mesh).
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(repl, NamedSharding(mesh, P(axis)), repl),
+        donate_argnums=(0,) if donate_state else ())
 
     def wrapped(state, batch, rng):
         batch = shard_batch(batch, mesh, axis)

@@ -161,3 +161,42 @@ def test_device_cache_loader_reshuffles_composition():
         comps.append(tuple(sorted(ep)))
     assert len(set(comps)) > 1  # composition actually varies across epochs
     assert len(dev) == 4
+
+
+def test_load_norm_values_orders(tmp_path):
+    """load_norm_values returns stats in the order the dataset SERVES:
+    'train'-keyed (S2TSCzCrop release, .SAFE order) is reordered by
+    PASTIS_CHANNEL_ORDER exactly like the reference (train.py:282-296,
+    webapp/prediction.py:232-251); Fold-keyed (PASTIS) and flat formats
+    pass through unchanged."""
+    import json
+
+    from crop2seg_tpu.data import PASTIS_CHANNEL_ORDER
+
+    safe_mean = np.arange(10, dtype=np.float64)          # .SAFE order 0..9
+    safe_std = np.arange(10, dtype=np.float64) + 1
+    p = tmp_path / "train.json"
+    json.dump({"train": {"mean": safe_mean.tolist(),
+                         "std": safe_std.tolist()}}, open(p, "w"))
+    nv = load_norm_values(str(p))
+    np.testing.assert_array_equal(nv["mean"],
+                                  safe_mean[list(PASTIS_CHANNEL_ORDER)])
+    np.testing.assert_array_equal(nv["std"],
+                                  safe_std[list(PASTIS_CHANNEL_ORDER)])
+    # reorder=False keeps .SAFE order (channels_like_pastis=False datasets)
+    nv_raw = load_norm_values(str(p), reorder=False)
+    np.testing.assert_array_equal(nv_raw["mean"], safe_mean)
+
+    p2 = tmp_path / "folds.json"
+    json.dump({"Fold_1": {"mean": safe_mean.tolist(),
+                          "std": safe_std.tolist()},
+               "Fold_2": {"mean": (safe_mean + 2).tolist(),
+                          "std": safe_std.tolist()}}, open(p2, "w"))
+    nv2 = load_norm_values(str(p2), folds=[1, 2])
+    np.testing.assert_array_equal(nv2["mean"], safe_mean + 1)  # no reorder
+
+    p3 = tmp_path / "flat.json"
+    json.dump({"mean": safe_mean.tolist(), "std": safe_std.tolist()},
+              open(p3, "w"))
+    np.testing.assert_array_equal(load_norm_values(str(p3))["mean"],
+                                  safe_mean)
