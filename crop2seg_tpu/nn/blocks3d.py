@@ -118,7 +118,15 @@ class TemporalAggregator3D(nn.Module):
 
         n_head = attn.shape[3]
         a = jnp.transpose(attn, (0, 3, 4, 1, 2))      # (B, head, T, ha, wa)
-        a = a.reshape(b * n_head, t, a.shape[-2], a.shape[-1])[..., None]
+        if self.mode == "att_mean":
+            # reference :125-129 averages the HEAD MASKS first and runs the
+            # learned path on the single head-mean stream (softmax is
+            # nonlinear, so mean-of-softmaxed-ups differs)
+            a = jnp.mean(a, axis=1, keepdims=True)
+            streams = 1
+        else:
+            streams = n_head
+        a = a.reshape(b * streams, t, a.shape[-2], a.shape[-1])[..., None]
         if x.shape[2] > attn.shape[1]:
             # learned x2 upsample: ConvTranspose (1,4,4)/(1,2,2) + conv + softmax
             up = nn.ConvTranspose(1, kernel_size=(3, 4, 4),
@@ -127,10 +135,15 @@ class TemporalAggregator3D(nn.Module):
             up = nn.Conv(1, kernel_size=(3, 3, 3), padding=1,
                          dtype=self.dtype, name="up_conv")(up)
             a = jax.nn.softmax(up, axis=1)
-        a = a[..., 0].reshape(b, n_head, t, x.shape[2], x.shape[3])
-        a = jnp.moveaxis(a, 2, 4)                     # (B, head, H, W, T)
+        elif attn.shape[1] > x.shape[2]:
+            # attention finer than the skip: average-pool down (reference
+            # :111-115 AvgPool2d(w // x.shape[-2]); kernel 1 = identity)
+            k = attn.shape[1] // x.shape[2]
+            a = nn.avg_pool(a, window_shape=(1, k, k), strides=(1, k, k))
+        a = a[..., 0].reshape(b, streams, t, x.shape[2], x.shape[3])
+        a = jnp.moveaxis(a, 2, 4)                     # (B, streams, H, W, T)
         if self.mode == "att_mean":
-            a = jnp.mean(a, axis=1)
+            a = a[:, 0]
             if valid is not None:
                 a = a * valid[:, None, None, :]
             return jnp.einsum("bhwt,bthwc->bhwc", a, x), a

@@ -193,7 +193,11 @@ class TAE2d(nn.Module):
                 n_head=self.n_head, d_k=self.d_k,
                 num_queries=self.num_queries, dtype=self.dtype,
                 name="attention")(h, pad_mask=pad_mask, train=train)
-            out = out[:, :, :, 0, :]                   # nq = 1
+            # nq = 1 only: the reference concatenates n queries into
+            # channels (tae.py:284-346), but its lightweight path is
+            # unconstructable as shipped (BN1d crash, PARITY.md) so nq>1
+            # has no oracle; shipped configs are all nq=1.
+            out = out[:, :, :, 0, :]
             attn = attn[:, :, :, :, 0, :]              # (B,H,W,head,T)
         else:
             out = h

@@ -93,7 +93,10 @@ def temporal_dropout_mask(pad_mask: jax.Array, rng: jax.Array,
     # keep at least one valid step: un-drop the first valid position when all
     # valid steps got dropped
     all_dropped = jnp.all(new_mask, axis=1, keepdims=True)
-    first_valid = jnp.cumsum(~pad_mask, axis=1) == 1
+    # restrict to VALID positions: for a length-1 sample, cumsum(~pad)==1
+    # also marks every trailing pad, and un-dropping those would hand
+    # attention/GroupNorm 60 zero frames as "valid" data
+    first_valid = (~pad_mask) & (jnp.cumsum(~pad_mask, axis=1) == 1)
     return jnp.where(all_dropped & first_valid, False, new_mask)
 
 

@@ -139,3 +139,31 @@ def test_timeunet_v2_patched_golden():
                 jnp.asarray(arrays["dates"]), train=False)
     assert_close(from_nhwc(np.asarray(y)), arrays["y"], rtol=5e-4, atol=5e-4,
                  name="timeunet_v2_patched")
+
+
+def test_temporal_aggregator3d_downsample_and_head_mean_order():
+    """attn finer than the skip avg-pools down (reference
+    temporal_aggregator.py:111-115 — previously a reshape crash), and
+    att_mean averages the HEAD MASKS first (reference :125-129), so at
+    equal resolution the returned mask IS the head mean."""
+    import jax
+
+    from crop2seg_tpu.nn.blocks3d import TemporalAggregator3D
+
+    b, t, hd = 1, 3, 2
+    x = jnp.ones((b, t, 4, 4, 4), jnp.float32)
+    attn = jax.random.uniform(jax.random.PRNGKey(0), (b, 8, 8, hd, t))
+    agg = TemporalAggregator3D(mode="att_group")
+    v = agg.init(jax.random.PRNGKey(1), x, attn)
+    out, _ = agg.apply(v, x, attn)
+    assert out.shape == (b, 4, 4, 4)
+
+    attn2 = jax.random.uniform(jax.random.PRNGKey(2), (b, 4, 4, hd, t))
+    aggm = TemporalAggregator3D(mode="att_mean")
+    vm = aggm.init(jax.random.PRNGKey(3), x, attn2)
+    outm, am = aggm.apply(vm, x, attn2)
+    ref_mask = jnp.moveaxis(
+        jnp.mean(jnp.transpose(attn2, (0, 3, 4, 1, 2)), axis=1), 1, 3)
+    np.testing.assert_allclose(np.asarray(am), np.asarray(ref_mask),
+                               rtol=1e-6)
+    assert outm.shape == (b, 4, 4, 4)

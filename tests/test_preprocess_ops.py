@@ -77,3 +77,21 @@ def test_preprocess_batch_end_to_end():
     np.testing.assert_array_equal(np.asarray(out["x"][1, 3:]), 0.0)
     assert out["pad_mask"].shape == (B, T)
     assert bool(np.asarray(out["pad_mask"])[1, 3:].all())
+
+
+def test_temporal_dropout_never_unmasks_pads():
+    """A length-1 sample whose only valid frame gets dropped must keep its
+    PAD frames masked: cumsum(~pad)==1 alone also marks every trailing pad
+    position, and un-dropping those would feed zero frames to attention as
+    valid data. Only the first VALID position may be un-dropped."""
+    import jax
+
+    from crop2seg_tpu.ops.preprocess import temporal_dropout_mask
+
+    pad = np.zeros((1, 8), bool)
+    pad[0, 1:] = True  # length-1 sample
+    # rate=1.0 guarantees the single valid step is dropped
+    out = np.asarray(temporal_dropout_mask(jnp.asarray(pad),
+                                           jax.random.PRNGKey(0), 1.0))
+    assert not out[0, 0]          # the real frame is restored
+    assert out[0, 1:].all()       # pads STAY pads
